@@ -1,0 +1,63 @@
+"""Test harness configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so that multi-chip
+sharding logic can be validated without TPU hardware (SURVEY.md §4: the
+"fake backend" for shard/mesh logic).  Must be set before jax is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def rgb_u8(rng):
+    """Random uint8 RGB image."""
+    return rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="session")
+def img_unit(rgb_u8):
+    """Random float32 RGB image in [0,1] on the uint8 grid."""
+    return (rgb_u8.astype(np.float32) / 255.0).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def underwater_img(rng):
+    """Synthetic 'underwater-looking' image: blue-green cast, haze, gradients."""
+    h, w = 120, 160
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack(
+        [
+            0.15 + 0.1 * np.sin(xx / 17.0) + 0.05 * (yy / h),
+            0.45 + 0.2 * np.cos(yy / 23.0) + 0.1 * (xx / w),
+            0.55 + 0.15 * np.sin((xx + yy) / 31.0),
+        ],
+        axis=-1,
+    )
+    noise = rng.normal(0, 0.03, (h, w, 3)).astype(np.float32)
+    img = np.clip(base + noise, 0.0, 1.0).astype(np.float32)
+    # quantize to the u8 grid like a decoded image
+    return (np.floor(img * 255.0) / 255.0).astype(np.float32)
+
+
+def psnr(a, b, peak=1.0):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(peak**2 / mse)
