@@ -1,0 +1,67 @@
+"""Underwater dark-channel-prior dehazing chain: transmission + recovery.
+
+Reproduces BOTH divergent reference flavors (SURVEY.md O5/O6/O8):
+
+- ``estimate_transmission``  (enhancement_strategies.py:208-234): normalize by
+  A (+1e-10), dark channel, t = 1 - omega*dark, guided-filter refine on the
+  u8-quantized gray guide, then a SINGLE clip to [0.1, 1].
+- ``estimate_transmission_six`` (six_stadigy.py:167-180): eps 1e-6 on A, clip
+  BEFORE refinement and again after.
+- ``recover_image`` (enhancement_strategies.py:236-249): J=(I-A)/t+A, clip;
+  A may be a (3,) vector, scalar, or full (H,W,3) map (the
+  enhancement_strategies quadtree tiles A to H x W x 3 — numerically the same).
+  six_stadigy.restore_image (182-188) is per-channel identical math.
+
+The whole chain is fused by XLA into a handful of passes; the dark channel
+and affine transforms never round-trip through HBM separately.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.ops.colorspace import unit_to_gray_unit
+from underwater_image_enhancement_tpu.ops.guided import guided_filter
+
+
+def dark_channel(img: jnp.ndarray, A: jnp.ndarray, a_eps: float) -> jnp.ndarray:
+    """Per-pixel channel-min of img / (A + a_eps).  A broadcasts over (...,3)."""
+    return jnp.min(img / (A + a_eps), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("r",))
+def estimate_transmission(img: jnp.ndarray, A: jnp.ndarray, omega=0.95,
+                          r: int = 15, eps: float = 0.001) -> jnp.ndarray:
+    """enhancement_strategies.py:208-234 flavor (single final clip).
+
+    img: (..., H, W, 3) in [0,1]; A broadcastable to img. Returns (..., H, W).
+    """
+    dark = dark_channel(img, A, 1e-10)
+    t_initial = 1.0 - omega * dark
+    gray = unit_to_gray_unit(img)
+    t_refined = guided_filter(gray, t_initial, r, eps)
+    return jnp.clip(t_refined, 0.1, 1.0)
+
+
+@partial(jax.jit, static_argnames=("r",))
+def estimate_transmission_six(img: jnp.ndarray, A: jnp.ndarray, omega,
+                              r: int, eps: float) -> jnp.ndarray:
+    """six_stadigy.py:167-180 flavor (clip before AND after refinement)."""
+    dark = dark_channel(img, A, 1e-6)
+    t = jnp.clip(1.0 - omega * dark, 0.1, 1.0)
+    gray = unit_to_gray_unit(img)
+    t_refined = guided_filter(gray, t, r, eps)
+    return jnp.clip(t_refined, 0.1, 1.0)
+
+
+@jax.jit
+def recover_image(img: jnp.ndarray, t: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Scene radiance J = (I - A)/t + A, clipped to [0,1].
+
+    img: (..., H, W, 3); t: (..., H, W); A broadcastable to img.
+    """
+    t_e = t[..., None]
+    return jnp.clip((img - A) / t_e + A, 0.0, 1.0)
