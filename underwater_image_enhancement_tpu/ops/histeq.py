@@ -1,0 +1,216 @@
+"""Histogram equalization and CLAHE with OpenCV-compatible integer semantics.
+
+Reference behaviors reproduced:
+- ``histogram_equalization`` (enhancement_strategies.py:330-345): per-channel
+  ``cv2.equalizeHist`` on uint8.
+- ``clahe_enhancement`` (enhancement_strategies.py:287-307) and
+  ``apply_clahe`` (six_stadigy.py:201-208): cv2.createCLAHE on the LAB L
+  channel, 8x8 tiles, bilinear LUT interpolation.
+
+Both are implemented with OpenCV's exact integer arithmetic (integer
+histograms, clipped-excess redistribution with the residual stepping loop,
+round-half-even LUT quantization, REFLECT_101 padding to tile multiples) so
+the L-channel transform is bit-exact vs cv2; see tests/test_histeq.py.
+
+Histograms use one scatter-add; per-pixel LUT application uses 4 gathers.
+Values are carried as int32 (TPU-friendly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.ops import colorspace as cs
+
+
+def _round_half_even(x: jnp.ndarray) -> jnp.ndarray:
+    """cvRound == IEEE round-half-to-even (jnp.rint)."""
+    return jnp.rint(x)
+
+
+def _histogram256(rows: jnp.ndarray) -> jnp.ndarray:
+    """256-bin histograms of int32 rows: (T, N) -> (T, 256).
+
+    Compare-and-reduce formulation: XLA fuses the (T, N, 256) equality mask
+    into the reduction, so nothing is materialized.  ~600x faster than a
+    scatter-add on TPU (scatter serializes; this is pure VPU work).
+    """
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum(
+        rows[:, :, None] == bins[None, None, :], axis=1, dtype=jnp.int32
+    )
+
+
+@jax.jit
+def equalize_hist_u8(channel_u8: jnp.ndarray) -> jnp.ndarray:
+    """cv2.equalizeHist on a single uint8-valued int32 plane (H, W).
+
+    OpenCV semantics: the first occupied bin maps to 0 and is excluded from
+    the normalizer; lut[i] = round(cumsum_{i0<j<=i} hist[j] * 255/(N-hist[i0])).
+    A constant image is returned unchanged.
+    """
+    flat = channel_u8.reshape(-1)
+    n = flat.shape[0]
+    hist = _histogram256(flat[None, :])[0]
+    occupied = hist > 0
+    # first occupied bin index
+    i0 = jnp.argmax(occupied)
+    h0 = hist[i0]
+    cdf = jnp.cumsum(hist)
+    denom = (n - h0).astype(jnp.float32)
+    scale = jnp.where(denom > 0, 255.0 / jnp.maximum(denom, 1.0), 0.0)
+    shifted = (cdf - cdf[i0]).astype(jnp.float32)
+    lut = _round_half_even(shifted * scale).astype(jnp.int32)
+    lut = jnp.clip(lut, 0, 255)
+    out = lut[flat].reshape(channel_u8.shape)
+    # constant image: cv2 copies the source through unchanged
+    return jnp.where(denom > 0, out, channel_u8)
+
+
+@jax.jit
+def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:330-345: per-channel equalizeHist of
+    (img*255).u8, returned as float in [0,1].  img: (H, W, 3)."""
+    u8 = cs.quantize_u8(img)
+    chans = [equalize_hist_u8(u8[..., c]) for c in range(3)]
+    return cs.u8_to_unit(jnp.stack(chans, axis=-1))
+
+
+def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.ndarray:
+    """Per-tile CLAHE LUTs, OpenCV integer arithmetic.
+
+    tiles: (T, tile_area) int32 pixel values.  Returns (T, 256) int32 LUTs.
+    """
+    hist = _histogram256(tiles)
+
+    clip = max(int(clip_limit * tile_area / 256.0), 1)
+    clipped = jnp.minimum(hist, clip)
+    excess = jnp.sum(hist - clipped, axis=1)  # (T,)
+
+    redist = excess // 256
+    residual = excess - redist * 256  # in [0, 255]
+    clipped = clipped + redist[:, None]
+
+    # OpenCV residual loop: step = max(256//residual, 1); bins 0, step, 2*step,
+    # ... each get +1 until residual is exhausted (exactly `residual` bins).
+    # Vectorized: bin i gets +1 iff i % step == 0 and i/step < residual.
+    step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)  # (T,)
+    bins = jnp.arange(256, dtype=jnp.int32)[None, :]  # (1, 256)
+    hits = (bins % step[:, None] == 0) & (bins // step[:, None] < residual[:, None])
+    clipped = clipped + hits.astype(jnp.int32)
+
+    lut_scale = 255.0 / float(tile_area)
+    cdf = jnp.cumsum(clipped, axis=1).astype(jnp.float32)
+    return jnp.clip(_round_half_even(cdf * lut_scale), 0, 255).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
+             tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
+    """cv2 CLAHE on a uint8-valued int32 plane (H, W), bit-exact.
+
+    Pads to tile multiples with REFLECT_101, builds per-tile clipped LUTs,
+    bilinearly interpolates between the 4 neighboring tile LUTs, crops back.
+    """
+    H, W = channel_u8.shape
+    th = -(-H // tiles_y)  # tile height on the padded image
+    tw = -(-W // tiles_x)
+    pad_b = th * tiles_y - H
+    pad_r = tw * tiles_x - W
+    x = jnp.pad(channel_u8, ((0, pad_b), (0, pad_r)), mode="reflect")
+    Hp, Wp = th * tiles_y, tw * tiles_x
+
+    tiles = (
+        x.reshape(tiles_y, th, tiles_x, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tiles_x, th * tw)
+    )
+    luts = _clahe_luts(tiles, th * tw, clip_limit)  # (T, 256)
+
+    # --- Bilinear interpolation between the 4 surrounding tile LUTs ---
+    # Per-pixel scalar gathers are pathological on TPU (~60 ms at 1080p), so
+    # the lookup is reformulated as MXU matmuls: pad the image by a half tile
+    # on each side so the "which 4 LUTs" partition becomes a uniform
+    # (2*tiles+1)-band grid, then for each band-block (which references 4
+    # FIXED LUTs) map values through one-hot x LUT matmuls.  One-hot entries
+    # and LUT values (<=255) are exact in bfloat16, and the MXU accumulates
+    # in fp32, so the mapped values are exact integers.
+    pt = th // 2            # rows with ty1 == -1 number ceil(th/2)
+    pb = th - pt
+    plf = tw // 2
+    prt = tw - plf
+    by = tiles_y + 1        # number of uniform row bands after padding
+    bx = tiles_x + 1
+    xp2 = jnp.pad(x, ((pt, pb), (plf, prt)), mode="edge")
+    blocks = (
+        xp2.reshape(by, th, bx, tw).transpose(0, 2, 1, 3).reshape(by * bx, th * tw)
+    )
+
+    # the 4 fixed LUT ids per band-block (static python ints)
+    import numpy as _np
+
+    r1 = _np.clip(_np.arange(by) - 1, 0, tiles_y - 1)
+    r2 = _np.clip(_np.arange(by), 0, tiles_y - 1)
+    c1 = _np.clip(_np.arange(bx) - 1, 0, tiles_x - 1)
+    c2 = _np.clip(_np.arange(bx), 0, tiles_x - 1)
+    ids = _np.stack(
+        [
+            (r1[:, None] * tiles_x + c1[None, :]),  # TL
+            (r1[:, None] * tiles_x + c2[None, :]),  # TR
+            (r2[:, None] * tiles_x + c1[None, :]),  # BL
+            (r2[:, None] * tiles_x + c2[None, :]),  # BR
+        ],
+        axis=-1,
+    ).reshape(by * bx, 4)
+    luts4 = luts[jnp.asarray(ids)]  # (B, 4, 256) — row gather, cheap
+
+    bins = jnp.arange(256, dtype=jnp.int32)
+
+    def map_block(_, inp):
+        vals, l4 = inp
+        onehot = (vals[:, None] == bins[None, :]).astype(jnp.bfloat16)
+        mapped = jax.lax.dot_general(
+            onehot,
+            l4.astype(jnp.bfloat16).T,  # (256, 4)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, mapped
+
+    _, mapped = jax.lax.scan(map_block, None, (blocks, luts4))  # (B, A, 4)
+    mapped = (
+        mapped.reshape(by, bx, th, tw, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(by * th, bx * tw, 4)[pt : pt + Hp, plf : plf + Wp]
+    )
+
+    # Weight construction (y * (1/th) - 0.5 in fp32) and the accumulation
+    # order ((p11*xa1 + p12*xa)*ya1 + (p21*xa1 + p22*xa)*ya) replicate
+    # OpenCV's float32 path bit-for-bit (empirically verified).
+    ys = jnp.arange(Hp, dtype=jnp.float32)
+    xs = jnp.arange(Wp, dtype=jnp.float32)
+    tyf = ys * jnp.float32(1.0 / th) - jnp.float32(0.5)
+    txf = xs * jnp.float32(1.0 / tw) - jnp.float32(0.5)
+    ya = (tyf - jnp.floor(tyf))[:, None]
+    xa = (txf - jnp.floor(txf))[None, :]
+    top = mapped[..., 0] * (1.0 - xa) + mapped[..., 1] * xa
+    bot = mapped[..., 2] * (1.0 - xa) + mapped[..., 3] * xa
+    v = top * (1.0 - ya) + bot * ya
+    out = jnp.clip(_round_half_even(v), 0, 255).astype(jnp.int32)
+    return out[:H, :W]
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
+                      tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
+    """LAB-L CLAHE roundtrip — enhancement_strategies.py:287-307 /
+    six_stadigy.py:201-208.  img: (H, W, 3) float in [0,1] -> same."""
+    u8 = cs.quantize_u8(img)
+    lab = cs.rgb_to_lab_u8(u8)
+    L = clahe_u8(lab[..., 0], clip_limit, tiles_x, tiles_y)
+    lab = lab.at[..., 0].set(L)
+    rgb = cs.lab_to_rgb_u8(lab)
+    return cs.u8_to_unit(rgb)
