@@ -95,3 +95,14 @@ def test_unit_to_gray_unit(img_unit):
         / 255.0
     )
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_lab_exact_bit_exact_roundtrip(rgb_u8, underwater_img):
+    """The integer LAB pipelines must match cv2 exactly, both directions."""
+    for img in [rgb_u8, (underwater_img * 255).astype(np.uint8)]:
+        fwd = np.asarray(cs.rgb_to_lab_u8_exact(img.astype(np.int32)))
+        want_fwd = cv2.cvtColor(img, cv2.COLOR_RGB2LAB).astype(np.int32)
+        np.testing.assert_array_equal(fwd, want_fwd)
+        inv = np.asarray(cs.lab_to_rgb_u8_exact(want_fwd))
+        want_inv = cv2.cvtColor(want_fwd.astype(np.uint8), cv2.COLOR_LAB2RGB).astype(np.int32)
+        np.testing.assert_array_equal(inv, want_inv)

@@ -58,10 +58,9 @@ def test_clahe_nondivisible_size(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_clahe_enhancement_end_to_end(underwater_img):
-    """Full LAB roundtrip vs the cv2 golden.  The LAB legs carry cv2's
-    fixed-point table noise (see test_colorspace.py), so vs-cv2 parity is
-    bounded by that, not by the CLAHE core (bit-exact above)."""
+def test_clahe_enhancement_end_to_end_bit_exact(underwater_img):
+    """Full roundtrip (quantize -> RGB2LAB -> CLAHE -> LAB2RGB) must be
+    BIT-EXACT vs cv2: every stage replicates OpenCV's integer pipeline."""
     got = np.asarray(histeq.clahe_enhancement(underwater_img, 2.0))
     want = golden.clahe(underwater_img.astype(np.float64), 2.0)
-    assert psnr(got, want) > 40
+    np.testing.assert_array_equal((got * 255).round(), (want * 255).round())

@@ -1,0 +1,81 @@
+"""End-to-end strategy parity: pipeline/{strategies,six,cast} vs golden CPU.
+
+All strategies are gated at >=50 dB against the golden cv2/numpy oracle.  The
+CLAHE roundtrip (u8 quantize, RGB2LAB, CLAHE core, LAB2RGB) is bit-exact vs
+cv2 (OpenCV's integer pipelines are replicated — see test_histeq.py and
+docs/lab_bitexact_notes.md), so residuals are only fp32-vs-fp64 float noise
+in the stretch/dehaze stages.
+"""
+
+import numpy as np
+import pytest
+
+from underwater_image_enhancement_tpu.pipeline import cast, six, strategies
+from underwater_image_enhancement_tpu.testing import golden
+from tests.conftest import psnr
+
+GATE = 50.0
+
+
+@pytest.mark.parametrize("name", list(strategies.STRATEGY_FNS))
+def test_config_strategies(underwater_img, name):
+    got = np.asarray(strategies.apply_strategy(underwater_img, name))
+    want = golden.strategy_config(underwater_img.astype(np.float64), name)
+    assert psnr(got, want) > GATE, f"{name}: {psnr(got, want):.1f} dB"
+
+
+@pytest.mark.parametrize("name", list(six.SIX_STRATEGIES))
+def test_six_strategies(underwater_img, name):
+    got = np.asarray(six.SIX_STRATEGIES[name](underwater_img))
+    want = golden.strategy_six(underwater_img.astype(np.float64), name)
+    assert psnr(got, want) > GATE, f"{name}: {psnr(got, want):.1f} dB"
+
+
+def test_batched_equals_single(underwater_img):
+    batch = np.stack([underwater_img, underwater_img[:, ::-1]])
+    got = np.asarray(strategies.medium_dehazing(batch))
+    for i in range(2):
+        single = np.asarray(strategies.medium_dehazing(batch[i]))
+        np.testing.assert_allclose(got[i], single, atol=1e-6)
+
+
+def test_apply_strategy_unknown_raises(underwater_img):
+    with pytest.raises(ValueError):
+        strategies.apply_strategy(underwater_img, "nope")
+
+
+def test_apply_strategy_custom_params(underwater_img):
+    got = np.asarray(
+        strategies.apply_strategy(
+            underwater_img,
+            "medium_dehazing",
+            {"omega": 0.6, "guided_radius": 20, "L_low": 15, "L_high": 92,
+             "apply_gamma": True},
+        )
+    )
+    want = golden.strategy_config(underwater_img.astype(np.float64), "medium_dehazing")
+    assert psnr(got, want) > GATE
+
+
+def test_cast_detection(underwater_img, rng):
+    cases = {
+        "greenish": np.clip(underwater_img + np.array([0, 0.3, 0]), 0, 1).astype(np.float32),
+        "bluish": np.clip(underwater_img * np.array([0.5, 0.8, 1.0]) + np.array([0, 0, 0.2]), 0, 1).astype(np.float32),
+        "normal": np.full((32, 32, 3), 0.5, np.float32),
+    }
+    for want_kind, img in cases.items():
+        assert golden.detect_cast(img) == want_kind  # sanity on the fixture
+        code = int(cast.detect_cast(img))
+        assert cast.CAST_NAMES[code] == want_kind
+        got = np.asarray(cast.correct_cast(img, np.int32(code)))
+        np.testing.assert_allclose(
+            got, golden.correct_cast(img.astype(np.float64), want_kind), atol=1e-6
+        )
+
+
+def test_cast_batched(underwater_img):
+    g = np.clip(underwater_img + np.array([0, 0.3, 0]), 0, 1).astype(np.float32)
+    batch = np.stack([underwater_img, g])
+    corrected, codes = cast.detect_and_correct(batch)
+    assert corrected.shape == batch.shape
+    assert codes.shape == (2,)

@@ -1,0 +1,132 @@
+"""No-reference image quality assessment — batched, jitted.
+
+Reproduces the reference's 8 metrics and weighting exactly
+(quality_assessment.py:14-286):
+
+  contrast     RMS std of u8-gray/255, /0.5*100           (:14-33)
+  sharpness    variance of Laplacian(k=1) of gray, /0.5*100 (:35-55)
+  entropy      Shannon entropy of gray, (e-4)/4*100        (:57-75)
+  saturation   mean HSV-S (u8/255), *100                   (:77-97)
+  brightness   100 - |mean LAB-L - 128|/128*100            (:99-123)
+  edge_density Canny density /0.2*100                      (:125-147)
+  colorfulness Hasler-Süsstrunk /0.5*100                   (:149-184)
+  naturalness  100 - 200*(oversat + toodark + toobright)   (:186-212)
+
+``comprehensive_assessment`` applies the weights dict with ``get(key, 0)``
+exactly like quality_assessment.py:284 (so config.py's 6-weight dict zeroes
+colorfulness/naturalness).  All metrics are computed in ONE fused program
+per image (shared colorspace transforms), vmapped over batches.
+
+Unlike the reference there is no per-metric try/except -> 50.0 fallback:
+shapes are static and failures cannot occur inside jit by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.ops import colorspace as cs
+from underwater_image_enhancement_tpu.ops.edges import canny_u8, laplacian
+
+METRIC_NAMES = (
+    "contrast", "sharpness", "entropy", "saturation",
+    "brightness", "edge_density", "colorfulness", "naturalness",
+)
+
+
+def _entropy_u8(gray_u8: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (base 2) over the discrete u8 gray values — matches
+    skimage.measure.shannon_entropy on u8-quantized data (which uses
+    np.unique counts; equivalent to a 256-bin histogram here)."""
+    flat = gray_u8.reshape(-1)
+    n = flat.shape[0]
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum(flat[None, :] == bins[:, None], axis=1).astype(jnp.float32)
+    p = hist / n
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
+
+
+def assess_all(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """All 8 metric scores for one (H, W, 3) image in [0,1]."""
+    u8 = cs.quantize_u8(img)
+    gray_u8 = cs.rgb_to_gray_u8(u8)
+    gray = cs.u8_to_unit(gray_u8)
+    hsv = cs.rgb_to_hsv_u8(u8)
+    lab_l = cs.rgb_to_lab_u8_exact(u8)[..., 0].astype(jnp.float32)
+
+    scores = {}
+    # contrast (:25-33)
+    scores["contrast"] = jnp.clip(jnp.std(gray) / 0.5 * 100.0, 0.0, 100.0)
+    # sharpness (:46-55) — cv2.Laplacian default ksize=1
+    lap = laplacian(gray, ksize=1)
+    scores["sharpness"] = jnp.clip(jnp.var(lap) / 0.5 * 100.0, 0.0, 100.0)
+    # entropy (:68-75)
+    ent = _entropy_u8(gray_u8)
+    scores["entropy"] = jnp.clip((ent - 4.0) / 4.0 * 100.0, 0.0, 100.0)
+    # saturation (:88-97)
+    sat = hsv[..., 1].astype(jnp.float32) / 255.0
+    scores["saturation"] = jnp.clip(jnp.mean(sat) * 100.0, 0.0, 100.0)
+    # brightness (:111-123)
+    dev = jnp.abs(jnp.mean(lab_l) - 128.0)
+    scores["brightness"] = 100.0 - jnp.clip(dev / 128.0 * 100.0, 0.0, 100.0)
+    # edge density (:136-147)
+    edges = canny_u8(gray_u8, 50, 150)
+    scores["edge_density"] = jnp.clip(
+        jnp.mean(edges.astype(jnp.float32)) / 0.2 * 100.0, 0.0, 100.0
+    )
+    # colorfulness (:160-184) — on the FLOAT image, like the reference
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    std_rgyb = jnp.sqrt(jnp.std(rg) ** 2 + jnp.std(yb) ** 2)
+    mean_rgyb = jnp.sqrt(jnp.mean(rg) ** 2 + jnp.mean(yb) ** 2)
+    scores["colorfulness"] = jnp.clip(
+        (std_rgyb + 0.3 * mean_rgyb) / 0.5 * 100.0, 0.0, 100.0
+    )
+    # naturalness (:198-212)
+    over_sat = jnp.mean((sat > 0.9).astype(jnp.float32))
+    too_dark = jnp.mean((gray < 0.1).astype(jnp.float32))
+    too_bright = jnp.mean((gray > 0.9).astype(jnp.float32))
+    unnatural = over_sat + too_dark + too_bright
+    scores["naturalness"] = 100.0 - jnp.clip(unnatural * 200.0, 0.0, 100.0)
+    return scores
+
+
+@jax.jit
+def assess_all_vector(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) -> (8,) scores in METRIC_NAMES order (batch-friendly)."""
+    s = assess_all(img)
+    return jnp.stack([s[k] for k in METRIC_NAMES])
+
+
+@jax.jit
+def assess_batch(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, 8)."""
+    return jax.vmap(assess_all_vector)(imgs)
+
+
+def comprehensive_assessment(
+    img: jnp.ndarray, weights: Dict[str, float] | None = None
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """quality_assessment.py:215-286: weighted total + per-metric dict.
+
+    weights=None -> the 8-metric defaults (:229-238); missing keys get 0."""
+    from underwater_image_enhancement_tpu.utils.config import FULL_QUALITY_WEIGHTS
+
+    w = FULL_QUALITY_WEIGHTS if weights is None else weights
+    scores = assess_all(img)
+    total = sum(scores[k] * w.get(k, 0) for k in METRIC_NAMES)
+    return total, scores
+
+
+def comprehensive_batch(imgs: jnp.ndarray,
+                        weights: Dict[str, float] | None = None) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B,) weighted totals, one compiled program."""
+    from underwater_image_enhancement_tpu.utils.config import FULL_QUALITY_WEIGHTS
+
+    w = FULL_QUALITY_WEIGHTS if weights is None else weights
+    wv = jnp.asarray([w.get(k, 0) for k in METRIC_NAMES], jnp.float32)
+    return assess_batch(imgs) @ wv

@@ -19,6 +19,7 @@ the trailing channel dim only, so (H,W,3) and (B,H,W,3) both work.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # sRGB -> XYZ (D65) matrix and white point, as used by OpenCV.
@@ -158,6 +159,125 @@ def lab_to_rgb_u8(lab_u8: jnp.ndarray) -> jnp.ndarray:
     lin = jnp.einsum("...c,kc->...k", xyz, _XYZ2RGB)
     srgb = _linear_to_srgb(lin)
     return jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.int32)
+
+
+def _table_lookup_matmul(idx: jnp.ndarray, table_np, chunk: int = 16384) -> jnp.ndarray:
+    """table[idx] for int32 idx without per-pixel gathers (slow on TPU).
+
+    One-hot x table matmuls in fp32 (Precision.HIGHEST so integer values up
+    to 2^24 stay exact), scanned over pixel chunks to bound memory.  Tables
+    larger than 256 entries use a two-level (hi, lo) decomposition:
+    out = sum_h [hi==h] * (onehot(lo) @ T[h, :]).
+    """
+    import numpy as _np
+
+    T = int(table_np.shape[0])
+    flat = idx.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % chunk
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, chunk)
+    hp = jax.lax.Precision.HIGHEST
+
+    if T <= 256:
+        tab = jnp.asarray(_np.asarray(table_np, _np.float32)[:, None])
+        bins = jnp.arange(T, dtype=jnp.int32)
+
+        def body(_, v):
+            oh = (v[:, None] == bins[None, :]).astype(jnp.float32)
+            return None, jnp.dot(oh, tab, precision=hp)[:, 0]
+
+    else:
+        assert T % 256 == 0, T
+        hi_n = T // 256
+        t2 = jnp.asarray(_np.asarray(table_np, _np.float32).reshape(hi_n, 256))
+        bins_lo = jnp.arange(256, dtype=jnp.int32)
+        bins_hi = jnp.arange(hi_n, dtype=jnp.int32)
+
+        def body(_, v):
+            lo = v & 255
+            hi = v >> 8
+            oh_lo = (lo[:, None] == bins_lo[None, :]).astype(jnp.float32)
+            tmp = jnp.dot(oh_lo, t2.T, precision=hp)  # (chunk, hi_n)
+            sel = (hi[:, None] == bins_hi[None, :]).astype(jnp.float32)
+            return None, jnp.sum(tmp * sel, axis=1)
+
+    _, out = jax.lax.scan(body, None, blocks)
+    return out.reshape(-1)[:n].astype(jnp.int32).reshape(idx.shape)
+
+
+def rgb_to_lab_u8_exact(rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_RGB2LAB on uint8, BIT-EXACT (OpenCV integer pipeline).
+
+    Reproduces RGB2Lab_b's fixed-point tables (ops/lab_tables.py, verified
+    0 mismatches vs cv2 5.0 over 327k probes).  Used by the CLAHE strategy
+    path and the LAB feature extractor."""
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    rgb = rgb_u8.astype(jnp.int32)
+    R = _table_lookup_matmul(rgb[..., 0], lt.GAMMA_TAB)
+    G = _table_lookup_matmul(rgb[..., 1], lt.GAMMA_TAB)
+    B = _table_lookup_matmul(rgb[..., 2], lt.GAMMA_TAB)
+    C = lt.COEFFS
+
+    def descale(v, n):
+        return (v + (1 << (n - 1))) >> n
+
+    def idx(row):
+        acc = R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2])
+        return jnp.clip(descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
+
+    fX = _table_lookup_matmul(idx(0), lt.CBRT_TAB)
+    fY = _table_lookup_matmul(idx(1), lt.CBRT_TAB)
+    fZ = _table_lookup_matmul(idx(2), lt.CBRT_TAB)
+    L = descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2)
+    a = descale(500 * (fX - fY) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
+    b = descale(200 * (fY - fZ) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
+    return jnp.clip(jnp.stack([L, a, b], axis=-1), 0, 255)
+
+
+def _ctrunc_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
+    """C/C++ integer division (truncates toward zero; ints can be negative)."""
+    q = jnp.abs(a) // b
+    return jnp.where(a < 0, -q, q)
+
+
+def lab_to_rgb_u8_exact(lab_u8: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_LAB2RGB on uint8, BIT-EXACT (OpenCV Lab2RGBinteger).
+
+    Verified 0 mismatches vs cv2 5.0 over 393k probes
+    (docs/lab_bitexact_notes.md).  The abToXZ table is evaluated as pure
+    integer arithmetic; the L->y/ify and inverse-gamma tables go through the
+    one-hot-matmul lookup (no per-pixel gathers)."""
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    lab = lab_u8.astype(jnp.int32)
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    y = _table_lookup_matmul(L, lt.L2YF_TAB[:, 0])
+    ify = _table_lookup_matmul(L, lt.L2YF_TAB[:, 1])
+
+    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
+    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
+
+    def ab_to_xz(v):
+        v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
+        lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
+        cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
+        return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
+
+    x = ab_to_xz(ify + adiv)
+    z = ab_to_xz(ify - bdiv)
+
+    def descale(v, n):
+        return (v + (1 << (n - 1))) >> n
+
+    C = lt.COEFFS_INV
+    outs = []
+    for ch in range(3):
+        idx = descale(x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]), 14)
+        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
+        outs.append(_table_lookup_matmul(idx, lt.INV_GAMMA_TAB))
+    return jnp.stack(outs, axis=-1)
 
 
 def rgb_to_hsv_f32(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,146 @@
+"""Edge operators: Sobel, Laplacian, Canny — OpenCV-compatible, pure JAX.
+
+Used by compute_Q (enhancement_strategies.py:180-183), the edge features
+(feature_extraction.py:160-200) and the edge-density metric
+(quality_assessment.py:125-147).
+
+3x3 convolutions are implemented as 9 shifted adds on the VPU (cheaper and
+layout-friendlier than lax.conv for single-channel planes).
+
+Canny reproduces cv2.Canny(aperture 3, L1 gradient): Sobel with REPLICATE
+border, integer sector-based non-maximum suppression (TG22 = 13573 / 2^15
+fixed point, exact OpenCV tie-breaking), double threshold, and hysteresis by
+iterated masked dilation.  Hysteresis is the one approximation: OpenCV flood-
+fills unboundedly, we run a fixed number of dilation rounds (default 64) —
+weak-edge chains longer than that stay unlit.  Canny feeds scores (edge
+density), not pixels, so the tolerance is looser (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int, mode: str) -> jnp.ndarray:
+    """x shifted so that out[i,j] = x[i+dy, j+dx], border per ``mode``."""
+    H, W = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode=mode)
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, 1 + dy, 1 + dy + H, axis=x.ndim - 2),
+        1 + dx,
+        1 + dx + W,
+        axis=x.ndim - 1,
+    )
+
+
+def conv3x3(x: jnp.ndarray, kernel, mode: str = "reflect") -> jnp.ndarray:
+    """Correlate x with a 3x3 kernel (list of lists), cv2 border semantics.
+
+    mode: 'reflect' == BORDER_REFLECT_101 (cv2 default), 'edge' == REPLICATE.
+    """
+    out = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            k = kernel[dy + 1][dx + 1]
+            if k == 0:
+                continue
+            term = _shift(x, dy, dx, mode) * k
+            out = term if out is None else out + term
+    return out
+
+
+_SOBEL_X = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+_SOBEL_Y = [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]
+_LAP_K1 = [[0, 1, 0], [1, -4, 1], [0, 1, 0]]
+_LAP_K3 = [[2, 0, 2], [0, -8, 0], [2, 0, 2]]
+
+
+def sobel(x: jnp.ndarray, axis: str, mode: str = "reflect") -> jnp.ndarray:
+    """cv2.Sobel(ksize=3) derivative along 'x' (cols) or 'y' (rows)."""
+    return conv3x3(x, _SOBEL_X if axis == "x" else _SOBEL_Y, mode)
+
+
+def laplacian(x: jnp.ndarray, ksize: int = 1) -> jnp.ndarray:
+    """cv2.Laplacian: ksize=1 -> 4-neighbor kernel, ksize=3 -> [[2,0,2],...]."""
+    return conv3x3(x, _LAP_K1 if ksize == 1 else _LAP_K3, "reflect")
+
+
+def _dilate8(mask: jnp.ndarray) -> jnp.ndarray:
+    """8-connected binary dilation (constant-0 border)."""
+    out = mask
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out | _shift_zero(mask, dy, dx)
+    return out
+
+
+def _shift_zero(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    H, W = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode="constant")
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, 1 + dy, 1 + dy + H, axis=x.ndim - 2),
+        1 + dx,
+        1 + dx + W,
+        axis=x.ndim - 1,
+    )
+
+
+_TG22 = 13573  # tan(22.5 deg) in Q15, as in OpenCV canny.cpp
+
+
+@partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters"))
+def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
+             hysteresis_iters: int = 64) -> jnp.ndarray:
+    """cv2.Canny(gray, low, high) on a uint8-valued int32 plane -> {0,1} mask.
+
+    L1 gradient (|dx|+|dy|), 3x3 Sobel with REPLICATE border, OpenCV's
+    integer NMS sector logic, bounded hysteresis (see module docstring).
+    """
+    g = gray_u8.astype(jnp.int32)
+    dx = conv3x3(g, _SOBEL_X, "edge")
+    dy = conv3x3(g, _SOBEL_Y, "edge")
+    m = jnp.abs(dx) + jnp.abs(dy)
+
+    # sector classification, OpenCV integer arithmetic
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy) << 15
+    tg22x = ax * _TG22
+    tg67x = tg22x + (ax << 16)
+    horiz = ay < tg22x              # gradient mostly horizontal -> compare L/R
+    vert = ay > tg67x               # mostly vertical -> compare U/D
+    diag = ~horiz & ~vert
+    s_pos = (dx ^ dy) < 0           # opposite signs -> anti-diagonal
+
+    def sh(dy_, dx_):
+        return _shift_zero(m, dy_, dx_)
+
+    # OpenCV tie-breaking: strictly greater than one neighbor, >= the other
+    nms_h = (m > sh(0, -1)) & (m >= sh(0, 1))
+    nms_v = (m > sh(-1, 0)) & (m >= sh(1, 0))
+    nms_d1 = (m > sh(-1, -1)) & (m > sh(1, 1))     # main diagonal
+    nms_d2 = (m > sh(-1, 1)) & (m > sh(1, -1))     # anti diagonal
+    keep = jnp.where(horiz, nms_h,
+                     jnp.where(vert, nms_v, jnp.where(s_pos, nms_d2, nms_d1)))
+
+    cand = (m > low) & keep
+    strong = cand & (m > high)
+    weak = cand & ~strong
+
+    def body(_, e):
+        return e | (weak & _dilate8(e))
+
+    edges = jax.lax.fori_loop(0, hysteresis_iters, body, strong)
+    return edges.astype(jnp.int32)
+
+
+def canny_unit(img_gray_unit: jnp.ndarray, low: int = 50, high: int = 150) -> jnp.ndarray:
+    """Canny on a [0,1] gray image via the reference's (g*255).u8 quantize."""
+    g = jnp.clip(img_gray_unit * 255.0, 0, 255).astype(jnp.int32)
+    return canny_u8(g, low, high)

@@ -209,8 +209,8 @@ def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
     """LAB-L CLAHE roundtrip — enhancement_strategies.py:287-307 /
     six_stadigy.py:201-208.  img: (H, W, 3) float in [0,1] -> same."""
     u8 = cs.quantize_u8(img)
-    lab = cs.rgb_to_lab_u8(u8)
+    lab = cs.rgb_to_lab_u8_exact(u8)  # bit-exact integer forward
     L = clahe_u8(lab[..., 0], clip_limit, tiles_x, tiles_y)
     lab = lab.at[..., 0].set(L)
-    rgb = cs.lab_to_rgb_u8(lab)
+    rgb = cs.lab_to_rgb_u8_exact(lab)  # bit-exact integer inverse
     return cs.u8_to_unit(rgb)

@@ -1,0 +1,108 @@
+"""The "six_stadigy flavor" strategy compositions (six_stadigy.py:226-285).
+
+Six fixed recipes with their own constants and op variants (eps on A is 1e-6,
+transmission clipped before AND after refinement, gamma is img**g with no
+clip, stretch eps 1e-6).  Kept separate from pipeline.strategies by design:
+the two families diverge in the reference and both are reproduced as-is
+(SURVEY.md §7 "Reference divergences").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
+from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight
+
+
+def _per_image(fn, img):
+    if img.ndim == 3:
+        return fn(img)
+    return jax.vmap(fn)(img)
+
+
+def _restore(img, omega, radius, eps):
+    A = quadtree_airlight(img)
+    t = dehaze.estimate_transmission_six(img, A, omega, radius, eps)
+    return dehaze.recover_image(img, t, A)
+
+
+@jax.jit
+def strategy1_strong_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:230-239: omega .3 r20 eps .5 -> stretch 5-98 ->
+    CLAHE 3.0 -> gamma**1.5."""
+    def one(im):
+        rec = _restore(im, 0.3, 20, 5e-1)
+        e = stretch.enhance_contrast(rec, 5.0, 98.0)
+        e = histeq.clahe_enhancement(e, 3.0)
+        return stretch.gamma_correction_pow(e, 1.5)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def strategy2_medium_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:241-249: omega .5 r15 eps .5 -> stretch 15-95 -> CLAHE 2.0."""
+    def one(im):
+        rec = _restore(im, 0.5, 15, 5e-1)
+        e = stretch.enhance_contrast(rec, 15.0, 95.0)
+        return histeq.clahe_enhancement(e, 2.0)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def strategy3_light_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:251-259: omega .7 r10 eps .1 -> stretch 20-85 -> WB p2."""
+    def one(im):
+        rec = _restore(im, 0.7, 10, 1e-1)
+        e = stretch.enhance_contrast(rec, 20.0, 85.0)
+        return stretch.white_balance(e, 2.0)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def strategy4_clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:261-268: CLAHE 4.0 -> stretch 10-95 -> WB p3 -> gamma**1.3."""
+    def one(im):
+        e = histeq.clahe_enhancement(im, 4.0)
+        e = stretch.enhance_contrast(e, 10.0, 95.0)
+        e = stretch.white_balance(e, 3.0)
+        return stretch.gamma_correction_pow(e, 1.3)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def strategy5_white_balance(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:270-277: WB p2 -> stretch 15-90 -> CLAHE 1.5 -> gamma**1.2."""
+    def one(im):
+        e = stretch.white_balance(im, 2.0)
+        e = stretch.enhance_contrast(e, 15.0, 90.0)
+        e = histeq.clahe_enhancement(e, 1.5)
+        return stretch.gamma_correction_pow(e, 1.2)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def strategy6_histogram_eq(img: jnp.ndarray) -> jnp.ndarray:
+    """six_stadigy.py:279-285: stretch 5-98 -> CLAHE 3.5 -> gamma**1.4."""
+    def one(im):
+        e = stretch.enhance_contrast(im, 5.0, 98.0)
+        e = histeq.clahe_enhancement(e, 3.5)
+        return stretch.gamma_correction_pow(e, 1.4)
+
+    return _per_image(one, img)
+
+
+SIX_STRATEGIES = {
+    "strong_dehazing": strategy1_strong_dehazing,
+    "medium_dehazing": strategy2_medium_dehazing,
+    "light_dehazing": strategy3_light_dehazing,
+    "clahe_enhancement": strategy4_clahe_enhancement,
+    "white_balance": strategy5_white_balance,
+    "histogram_eq": strategy6_histogram_eq,
+}

@@ -1,0 +1,172 @@
+"""The "config flavor" strategy compositions + unified dispatch.
+
+Reference: enhancement_strategies.py:349-508 and parameters config.py:28-75.
+Each strategy is one jitted NHWC composite; ``apply_strategy`` dispatches by
+name against compiled functions (a static dict — no data-dependent dispatch).
+
+Single-image (H, W, 3) and batched (B, H, W, 3) inputs both work; batched
+inputs vmap the per-image reductions (quadtree, percentiles, CLAHE).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
+from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight
+from underwater_image_enhancement_tpu.utils.config import DEFAULT_STRATEGIES
+
+
+def _per_image(fn, img):
+    """Apply a (H,W,3)->(H,W,3) fn to single or batched input."""
+    if img.ndim == 3:
+        return fn(img)
+    return jax.vmap(fn)(img)
+
+
+def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
+                         apply_gamma, gamma):
+    """The shared skeleton of strong/medium/light strategies
+    (enhancement_strategies.py:349-444): quadtree A -> transmission ->
+    recover -> percentile stretch -> optional gamma img**(1/g)."""
+    A = quadtree_airlight(img)
+    t = dehaze.estimate_transmission(img, A, omega, guided_radius, 0.001)
+    rec = dehaze.recover_image(img, t, A)
+    out = stretch.color_enhancement(rec, l_low, l_high)
+    if apply_gamma:
+        out = stretch.gamma_correction_inv(out, gamma)
+    return out
+
+
+@partial(jax.jit, static_argnames=())
+def strong_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:349-374, params config.py:29-37."""
+    return _per_image(
+        lambda im: _dehaze_then_stretch(im, 0.5, 15, 10.0, 95.0, True, 1.2), img
+    )
+
+
+@jax.jit
+def medium_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:376-397, params config.py:38-45.
+
+    NOTE the reference quirk: apply_medium_dehazing reads omega/radius from
+    params but estimate_atmospheric_light always runs with min_size=1."""
+    return _per_image(
+        lambda im: _dehaze_then_stretch(im, 0.6, 20, 15.0, 92.0, True, 1.2), img
+    )
+
+
+@jax.jit
+def light_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:422-444, params config.py:46-53."""
+    return _per_image(
+        lambda im: _dehaze_then_stretch(im, 0.4, 10, 15.0, 95.0, False, 1.2), img
+    )
+
+
+@jax.jit
+def clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:399-420: CLAHE then stretch 20-85.
+
+    The L_low/L_high defaults (20/85) come from apply_clahe_enhancement's
+    params.get defaults — config.py's clahe entry carries no L keys."""
+    def one(im):
+        c = histeq.clahe_enhancement(im, 2.0, 8, 8)
+        return stretch.color_enhancement(c, 20.0, 85.0)
+
+    return _per_image(one, img)
+
+
+@jax.jit
+def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
+    """enhancement_strategies.py:460-474: hist-eq then stretch 10-95."""
+    def one(im):
+        e = histeq.histogram_equalization(im)
+        return stretch.color_enhancement(e, 10.0, 95.0)
+
+    return _per_image(one, img)
+
+
+STRATEGY_FNS = {
+    "strong_dehazing": strong_dehazing,
+    "medium_dehazing": medium_dehazing,
+    "clahe_enhancement": clahe_enhancement,
+    "light_enhancement": light_enhancement,
+    "histogram_equalization": histogram_equalization,
+}
+
+# Display names as used in CSVs / dataset labels (config.py 'name' fields).
+STRATEGY_DISPLAY = {k: v["name"] for k, v in DEFAULT_STRATEGIES.items()}
+
+
+def apply_strategy(img: jnp.ndarray, strategy_name: str,
+                   params: Dict[str, Any] | None = None) -> jnp.ndarray:
+    """Unified dispatch (enhancement_strategies.py:477-508).
+
+    Unlike the reference, unknown strategies raise immediately and failures
+    propagate (the reference swallowed exceptions and returned the input —
+    silent fallback is not reproduced by design; use a try/except at call
+    sites that want it)."""
+    if strategy_name not in STRATEGY_FNS:
+        raise ValueError(f"unknown strategy: {strategy_name}")
+    if params:
+        return _apply_custom(img, strategy_name, _freeze(params))
+    return STRATEGY_FNS[strategy_name](img)
+
+
+def _freeze(params: Dict[str, Any]):
+    return tuple(sorted(params.items()))
+
+
+@partial(jax.jit, static_argnames=("strategy_name", "frozen"))
+def _apply_custom(img, strategy_name: str, frozen):
+    """Strategy with overridden params (the params.get(...) paths)."""
+    p = dict(frozen)
+    if strategy_name in ("strong_dehazing", "medium_dehazing", "light_enhancement"):
+        defaults = {
+            "strong_dehazing": (0.5, 15, 10.0, 95.0, False, 1.2),
+            "medium_dehazing": (0.6, 20, 15.0, 92.0, False, 1.2),
+            "light_enhancement": (0.4, 10, 15.0, 95.0, False, 1.2),
+        }[strategy_name]
+        return _per_image(
+            lambda im: _dehaze_then_stretch(
+                im,
+                p.get("omega", defaults[0]),
+                int(p.get("guided_radius", defaults[1])),
+                float(p.get("L_low", defaults[2])),
+                float(p.get("L_high", defaults[3])),
+                bool(p.get("apply_gamma", defaults[4])),
+                float(p.get("gamma", defaults[5])),
+            ),
+            img,
+        )
+    if strategy_name == "clahe_enhancement":
+        def one(im):
+            c = histeq.clahe_enhancement(
+                im, float(p.get("clip_limit", 2.0)),
+                *(p.get("tile_grid_size", (8, 8))),
+            )
+            out = stretch.color_enhancement(
+                c, float(p.get("L_low", 20.0)), float(p.get("L_high", 85.0))
+            )
+            if p.get("apply_gamma", False):
+                out = stretch.gamma_correction_inv(out, float(p.get("gamma", 1.2)))
+            return out
+
+        return _per_image(one, img)
+    # histogram_equalization
+    def one(im):
+        e = histeq.histogram_equalization(im)
+        out = stretch.color_enhancement(
+            e, float(p.get("L_low", 10.0)), float(p.get("L_high", 95.0))
+        )
+        if p.get("apply_gamma", False):
+            out = stretch.gamma_correction_inv(out, float(p.get("gamma", 1.2)))
+        return out
+
+    return _per_image(one, img)

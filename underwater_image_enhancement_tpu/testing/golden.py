@@ -142,3 +142,121 @@ def quadtree_airlight(img: np.ndarray, min_size: int = 1) -> np.ndarray:
     s = block.sum(axis=2)
     i, j = np.unravel_index(np.argmax(s), s.shape)
     return block[i, j].copy()
+
+
+def quadtree_airlight_sat(img: np.ndarray, min_size: int = 1) -> np.ndarray:
+    """Quadtree airlight with a GLOBAL edge map — the framework's canonical
+    spec (SURVEY.md §7: "Canny edge-density from a precomputed edge map +
+    SAT; equivalent math, constant shapes").
+
+    The reference reruns cv2.Canny on every block crop, whose block-border
+    gradients and truncated hysteresis differ slightly; that changes the
+    descent on a minority of images (quantified in tests/test_airlight.py).
+    All non-edge terms are identical to compute_q."""
+    h, w = img.shape[:2]
+    edges = (
+        cv2.Canny(cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY),
+                  50, 150) > 0
+    ).astype(np.float64)
+    r0, c0 = 0, 0
+
+    def q_of(rr, cc, hh, ww):
+        blk = img[rr:rr + hh, cc:cc + ww]
+        n = hh * ww
+        r, g, b = blk[:, :, 0], blk[:, :, 1], blk[:, :, 2]
+        t1 = (r.sum() + g.sum() + b.sum()) / (3 * n)
+        t2 = (b.sum() + g.sum() - 2 * r.sum()) / n
+        t3 = (r.var() + g.var() + b.var()) / 3
+        t4 = edges[rr:rr + hh, cc:cc + ww].sum() / n
+        return t1 + t2 - t3 - t4
+
+    while h > min_size and w > min_size:
+        mh, mw = h // 2, w // 2
+        blocks = [
+            (r0, c0, mh, mw),
+            (r0, c0 + mw, mh, w - mw),
+            (r0 + mh, c0, h - mh, mw),
+            (r0 + mh, c0 + mw, h - mh, w - mw),
+        ]
+        qs = [q_of(*bx) for bx in blocks]
+        r0, c0, h, w = blocks[int(np.argmax(qs))]
+    block = img[r0:r0 + h, c0:c0 + w]
+    s = block.sum(axis=2)
+    i, j = np.unravel_index(np.argmax(s), s.shape)
+    return block[i, j].copy()
+
+
+# ---------------------------------------------------------------------------
+# Full strategy compositions (CPU oracle for pipeline/)
+# ---------------------------------------------------------------------------
+
+def strategy_config(img: np.ndarray, name: str) -> np.ndarray:
+    """The 5 "config flavor" strategies with config.py:28-75 parameters
+    (enhancement_strategies.py:349-508 composed exactly as main.py runs them)."""
+    img = img.astype(np.float64)
+    if name in ("strong_dehazing", "medium_dehazing", "light_enhancement"):
+        omega, r, lo, hi, ag = {
+            "strong_dehazing": (0.5, 15, 10, 95, True),
+            "medium_dehazing": (0.6, 20, 15, 92, True),
+            "light_enhancement": (0.4, 10, 15, 95, False),
+        }[name]
+        A = quadtree_airlight_sat(img)
+        t = transmission(img, A, omega, r, 0.001)
+        out = stretch(recover(img, t, A), lo, hi)
+        if ag:
+            out = gamma_inv(out, 1.2)
+        return out
+    if name == "clahe_enhancement":
+        return stretch(clahe(img, 2.0), 20, 85)
+    if name == "histogram_equalization":
+        return stretch(hist_eq(img), 10, 95)
+    raise ValueError(name)
+
+
+def strategy_six(img: np.ndarray, name: str) -> np.ndarray:
+    """The 6 six_stadigy strategies (six_stadigy.py:230-285)."""
+    img = img.astype(np.float64)
+
+    def restore_(im, omega, r, eps):
+        A = quadtree_airlight_sat(im)
+        t = transmission_six(im, A, omega, r, eps)
+        return recover(im, t, A)
+
+    st = lambda im, lo, hi: stretch(im, lo, hi, eps=1e-6)
+    if name == "strong_dehazing":
+        e = st(restore_(img, 0.3, 20, 5e-1), 5, 98)
+        return gamma_pow(clahe(e, 3.0), 1.5)
+    if name == "medium_dehazing":
+        return clahe(st(restore_(img, 0.5, 15, 5e-1), 15, 95), 2.0)
+    if name == "light_dehazing":
+        return white_balance(st(restore_(img, 0.7, 10, 1e-1), 20, 85), 2)
+    if name == "clahe_enhancement":
+        e = white_balance(st(clahe(img, 4.0), 10, 95), 3)
+        return gamma_pow(e, 1.3)
+    if name == "white_balance":
+        e = clahe(st(white_balance(img, 2), 15, 90), 1.5)
+        return gamma_pow(e, 1.2)
+    if name == "histogram_eq":
+        return gamma_pow(clahe(st(img, 5, 98), 3.5), 1.4)
+    raise ValueError(name)
+
+
+def detect_cast(img: np.ndarray) -> str:
+    """six_stadigy.py:292-302."""
+    r, g, b = img.mean(axis=(0, 1))
+    if g > r and g > b and (g - r) > 0.05:
+        return "greenish"
+    if b > r and b > g and (b - r) > 0.05:
+        return "bluish"
+    return "normal"
+
+
+def correct_cast(img: np.ndarray, kind: str) -> np.ndarray:
+    """six_stadigy.py:305-323."""
+    out = img.copy()
+    if kind == "greenish":
+        out[:, :, 1] *= 0.85
+    elif kind == "bluish":
+        out[:, :, 2] *= 0.85
+    return np.clip(out, 0, 1)
+
