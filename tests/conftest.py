@@ -7,16 +7,28 @@ sharding logic can be validated without TPU hardware (SURVEY.md §4: the
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon TPU default
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
+        xla_flags
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_backend_optimization_level=0"  # no FMA contraction: keeps
+        # the fp32 op-by-op semantics the OpenCV-parity kernels specify
     ).strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU backend at interpreter
+# startup (before conftest), so env vars alone don't stick — force the CPU
+# platform and drop any already-initialized backends.
+jax.config.update("jax_platforms", "cpu")
+from jax.extend.backend import clear_backends  # noqa: E402
+
+clear_backends()
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 # Persistent compilation cache: the suite is compile-dominated; repeated runs
 # reuse compiled programs across processes.

@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-device CPU mesh (the 'fake backend')."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from underwater_image_enhancement_tpu.parallel import mesh as meshmod
+from underwater_image_enhancement_tpu.parallel import spatial
+from tests.conftest import psnr
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return meshmod.make_mesh(8)
+
+
+def test_mesh_and_sharding(mesh8):
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = meshmod.shard_batch(x, mesh8)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec("data", None)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_box_filter_spatial_matches_cv2(mesh8, rng):
+    x = rng.random((128, 96)).astype(np.float32)
+    r = 9
+    got = np.asarray(spatial.box_filter_spatial(jnp.asarray(x), r, mesh8))
+    want = cv2.boxFilter(x.astype(np.float64), cv2.CV_64F, (r, r))
+    assert psnr(got, want) > 80
+
+
+def test_stretch_spatial_close_to_exact(mesh8, rng):
+    img = rng.random((128, 64, 3)).astype(np.float32)
+    got = np.asarray(spatial.stretch_spatial(jnp.asarray(img), 10.0, 90.0, mesh8))
+    from underwater_image_enhancement_tpu.testing import golden
+
+    want = golden.stretch(img.astype(np.float64), 10, 90)
+    assert psnr(got, want) > 40  # histogram quantile is approximate by design
+
+
+def test_enhance_spatial_runs_and_matches_single_device(mesh8, rng):
+    img = rng.random((64, 48, 3)).astype(np.float32)
+    p = {"L_low": 8.0, "L_high": 92.0, "omega": 0.6, "gamma": 1.2}
+    got = np.asarray(spatial.enhance_spatial(jnp.asarray(img), p, mesh8))
+    # single-device reference with the same histogram stretch
+    from underwater_image_enhancement_tpu.ops import stretch as st
+
+    e = np.asarray(st.color_enhancement(img, 8.0, 92.0, eps=1e-8, method="hist"))
+    dark = e.min(-1, keepdims=True)
+    t = np.clip(1 - 0.6 * dark, 0.1, 1.0)
+    d = np.clip((e - 0.6) / t + 0.6, 0, 1)
+    want = np.clip((d + 1e-8) ** 1.2, 0, 1)
+    assert psnr(got, want) > 35
+
+
+def test_data_parallel_train_step_agrees_with_single(mesh8, rng):
+    """Gradients with a 'data'-sharded batch must equal the single-device
+    step (XLA inserts the all-reduce)."""
+    from underwater_image_enhancement_tpu.models.mlp import ParameterPredictor
+    from underwater_image_enhancement_tpu.models import diff_enhance, losses
+    import optax
+
+    model = ParameterPredictor()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 79)))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    imgs = rng.random((8, 16, 16, 3)).astype(np.float32)
+    refs = rng.random((8, 16, 16, 3)).astype(np.float32)
+    feats = rng.random((8, 79)).astype(np.float32)
+
+    def loss_fn(p, im, rf, ft):
+        pred = model.apply(p, ft)
+        enh = diff_enhance.enhance_mlp(im, pred, stretch_mode="quantile")
+        total, _ = losses.reference_loss(enh, rf)
+        return total
+
+    @jax.jit
+    def step(p, o, im, rf, ft):
+        l, g = jax.value_and_grad(loss_fn)(p, im, rf, ft)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), l
+
+    p1, l1 = step(params, opt, imgs, refs, feats)
+    batch = meshmod.shard_batch({"im": imgs, "rf": refs, "ft": feats}, mesh8)
+    p2, l2 = step(params, opt, batch["im"], batch["rf"], batch["ft"])
+    assert abs(float(l1) - float(l2)) < 1e-5
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

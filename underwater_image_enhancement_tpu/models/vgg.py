@@ -1,0 +1,118 @@
+"""VGG16-backbone parameter predictor (Flax).
+
+Reproduces ImprovedVGGParameterNet (vgg_16_UIE.py:135-250):
+
+- VGG16 features up to conv4_3 (torchvision ``features[:23]``: conv blocks
+  1-3 complete + conv4_1..conv4_3, three 2x2 maxpools).
+- "Dual pooling": the reference declares avg+max pooling but instantiates
+  BOTH as AdaptiveAvgPool2d (:157-158) — reproduced: two identical global
+  average pools concatenated.
+- Optional 79-dim feature concat -> fusion MLP with BatchNorm+Dropout
+  (:164-174) -> sigmoid attention gate (:177-181) -> 4 sigmoid-ranged heads
+  with ranges omega [0.3,0.9], gamma [1,1.5], L_low [2,15], L_high [60,95]
+  (:193-198).
+
+Pretrained ImageNet weights cannot be downloaded in this environment; use
+``load_torch_vgg_features`` to map a torchvision ``vgg16().features``
+state_dict (NCHW conv weights -> HWIO) when one is available on disk.
+Freezing of the first 16 conv parameter tensors (:152-154) is handled by the
+trainer's optax mask (train/trainer.py), not inside the module.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg16.features[:23] conv channel plan; 'M' = 2x2 maxpool
+VGG_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
+
+PARAM_RANGES = {
+    "omega": (0.3, 0.9),
+    "gamma": (1.0, 1.5),
+    "L_low": (2.0, 15.0),
+    "L_high": (60.0, 95.0),
+}
+
+
+class VGGFeatures(nn.Module):
+    """VGG16 conv stack (NHWC).  depth = number of conv layers:
+    depth=10 -> conv4_3 (torchvision features[:23]);
+    depth=7  -> relu3_3 (features[:16], the perceptual-loss trunk)."""
+
+    depth: int = 10
+
+    @nn.compact
+    def __call__(self, x):
+        conv_i = 0
+        for item in VGG_PLAN:
+            if conv_i >= self.depth:
+                break
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(item, (3, 3), padding=1, name=f"conv{conv_i}")(x)
+            x = nn.relu(x)
+            conv_i += 1
+        return x
+
+
+class ImprovedVGGParameterNet(nn.Module):
+    hidden_dim: int = 256
+    use_features: bool = True
+
+    @nn.compact
+    def __call__(self, img, feats: Optional[jnp.ndarray] = None, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        B = img.shape[0]
+        v = VGGFeatures(depth=10, name="vgg")(img)
+        avg_feat = jnp.mean(v, axis=(1, 2))
+        max_feat = jnp.mean(v, axis=(1, 2))  # reference bug reproduced (:158)
+        x = jnp.concatenate([avg_feat, max_feat], axis=1)
+        if self.use_features and feats is not None:
+            x = jnp.concatenate([x, feats.astype(x.dtype)], axis=1)
+
+        h2 = self.hidden_dim * 2
+        x = nn.Dense(h2)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4, deterministic=not train)(x)
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+
+        att = nn.Dense(self.hidden_dim // 4)(x)
+        att = nn.relu(att)
+        att = nn.sigmoid(nn.Dense(self.hidden_dim)(att))
+        x = x * att
+
+        params = {}
+        for name, (lo, hi) in PARAM_RANGES.items():
+            h = nn.Dense(self.hidden_dim // 2, name=f"head_{name}_0")(x)
+            h = nn.relu(h)
+            h = nn.Dropout(0.2, deterministic=not train)(h)
+            raw = nn.Dense(1, name=f"head_{name}_1")(h)
+            params[name] = nn.sigmoid(raw) * (hi - lo) + lo
+        return params
+
+
+def load_torch_vgg_features(flax_params: dict, torch_state: dict,
+                            prefix: str = "vgg") -> dict:
+    """Copy torchvision vgg16 ``features`` weights into VGGFeatures params.
+
+    torch_state keys: '0.weight', '0.bias', '2.weight', ... (conv layer
+    indices in features[:23]); conv weight OIHW -> HWIO."""
+    conv_torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    # features[:23] has 10 convs up to conv4_3
+    out = dict(flax_params)
+    tree = out[prefix] if prefix in out else out
+    for i, ti in enumerate(conv_torch_idx):
+        w = np.asarray(torch_state[f"{ti}.weight"])  # (O, I, H, W)
+        b = np.asarray(torch_state[f"{ti}.bias"])
+        tree[f"conv{i}"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        tree[f"conv{i}"]["bias"] = jnp.asarray(b)
+    return out

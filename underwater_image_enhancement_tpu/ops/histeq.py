@@ -190,15 +190,25 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     # Weight construction (y * (1/th) - 0.5 in fp32) and the accumulation
     # order ((p11*xa1 + p12*xa)*ya1 + (p21*xa1 + p22*xa)*ya) replicate
     # OpenCV's float32 path bit-for-bit (empirically verified).
-    ys = jnp.arange(Hp, dtype=jnp.float32)
-    xs = jnp.arange(Wp, dtype=jnp.float32)
-    tyf = ys * jnp.float32(1.0 / th) - jnp.float32(0.5)
-    txf = xs * jnp.float32(1.0 / tw) - jnp.float32(0.5)
-    ya = (tyf - jnp.floor(tyf))[:, None]
-    xa = (txf - jnp.floor(txf))[None, :]
-    top = mapped[..., 0] * (1.0 - xa) + mapped[..., 1] * xa
-    bot = mapped[..., 2] * (1.0 - xa) + mapped[..., 3] * xa
-    v = top * (1.0 - ya) + bot * ya
+    # Interpolation weights are computed on HOST in numpy float32, exactly
+    # as OpenCV does (y * (1/th) - 0.5 in fp32) and baked as constants:
+    # leaving them in-graph lets XLA constant-fold / FMA-contract the
+    # expressions at higher precision, which shifts exact .5 ties in the
+    # final cvRound.  optimization_barrier keeps the in-graph mul/add
+    # sequence un-contracted.
+    f32 = _np.float32
+    tyf = (_np.arange(Hp, dtype=f32) * f32(1.0 / th) - f32(0.5)).astype(f32)
+    txf = (_np.arange(Wp, dtype=f32) * f32(1.0 / tw) - f32(0.5)).astype(f32)
+    ya_np = (tyf - _np.floor(tyf)).astype(f32)
+    xa_np = (txf - _np.floor(txf)).astype(f32)
+    ya = jnp.asarray(ya_np)[:, None]
+    xa = jnp.asarray(xa_np)[None, :]
+    ya1 = jnp.asarray((f32(1.0) - ya_np).astype(f32))[:, None]
+    xa1 = jnp.asarray((f32(1.0) - xa_np).astype(f32))[None, :]
+    bar = jax.lax.optimization_barrier
+    top = bar(bar(mapped[..., 0] * xa1) + bar(mapped[..., 1] * xa))
+    bot = bar(bar(mapped[..., 2] * xa1) + bar(mapped[..., 3] * xa))
+    v = bar(top * ya1) + bar(bot * ya)
     out = jnp.clip(_round_half_even(v), 0, 255).astype(jnp.int32)
     return out[:H, :W]
 

@@ -1,0 +1,139 @@
+"""Spatial (single-frame) sharding — the "long-context" analog.
+
+The reference handles big frames only by downscaling (SURVEY.md §5); here a
+single large frame is sharded across chips on the row axis via shard_map:
+
+- ``box_filter_spatial``: windowed mean with HALO EXCHANGE — each shard
+  ppermutes its boundary rows to neighbors, filters locally, crops.  This is
+  the CLAHE/guided-filter neighborhood pattern on a mesh.
+- ``stretch_spatial``: global per-channel percentile stretch where each
+  shard histograms its rows and a ``psum`` over the mesh axis yields the
+  global CDF — no full-frame gather ever happens.
+- ``enhance_spatial``: the predictor-style enhance() (stretch -> A=0.6
+  dehaze -> gamma) for a frame too large for one chip's HBM.
+
+All collectives ride the mesh axis (ICI when the mesh maps to it).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from underwater_image_enhancement_tpu.parallel.mesh import DATA_AXIS
+
+
+def _exchange_halo(block: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Concatenate `halo` rows from the previous/next shard onto this one.
+
+    Edge shards receive garbage from the ring wrap; callers mask it by
+    REFLECT-padding the global edges beforehand or by cropping, matching the
+    single-device op's border handling."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    top_send = block[:halo]       # my first rows -> previous shard's bottom halo
+    bot_send = block[-halo:]      # my last rows  -> next shard's top halo
+    # ring permutes
+    from_next = lax.ppermute(top_send, axis_name,
+                             [(i, (i - 1) % n) for i in range(n)])
+    from_prev = lax.ppermute(bot_send, axis_name,
+                             [(i, (i + 1) % n) for i in range(n)])
+    # global edges: reflect my own rows instead of the wrapped data
+    top_halo = jnp.where(idx == 0, block[1:halo + 1][::-1], from_prev)
+    bot_halo = jnp.where(idx == n - 1, block[-halo - 1:-1][::-1], from_next)
+    return jnp.concatenate([top_halo, block, bot_halo], axis=0)
+
+
+def box_filter_spatial(x: jnp.ndarray, r: int, mesh: Mesh) -> jnp.ndarray:
+    """cv2-compatible box filter of a (H, W) frame sharded on rows.
+
+    Requires H divisible by the mesh size and shard height > r."""
+    from underwater_image_enhancement_tpu.ops.boxfilter import _window_sum
+
+    halo = r  # covers the r//2 + (r-1-r//2) window reach with margin
+
+    def local(block):
+        withhalo = _exchange_halo(block, halo, DATA_AXIS)
+        # columns: pad locally (full width present)
+        pad_lo = r // 2
+        pad_hi = r - 1 - r // 2
+        wp = jnp.pad(withhalo, ((0, 0), (pad_lo, pad_hi)), mode="reflect")
+        s = _window_sum(_window_sum(wp, r, 0), r, 1) / float(r * r)
+        # window_sum over rows consumed (rows_in - r + 1); recover our span
+        start = halo - pad_lo
+        return lax.dynamic_slice_in_dim(s, start, block.shape[0], axis=0)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=P(DATA_AXIS, None),
+    )(x)
+
+
+_BINS = 4096
+
+
+def _quantile_from_hist(hist: jnp.ndarray, vmin, vmax, q, n):
+    cdf = jnp.cumsum(hist)
+    target = q / 100.0 * (n - 1) + 1.0
+    b = jnp.clip(jnp.searchsorted(cdf, target), 0, _BINS - 1)
+    return vmin + b.astype(jnp.float32) * (vmax - vmin) / (_BINS - 1)
+
+
+def stretch_spatial(img: jnp.ndarray, l_low: float, l_high: float,
+                    mesh: Mesh) -> jnp.ndarray:
+    """Percentile stretch of a (H, W, 3) frame sharded on rows; global
+    percentiles via psum'd histograms (approximate to 1/4096 of the range,
+    same fast path as ops.stretch method='hist')."""
+    H = img.shape[0]
+
+    def local(block):
+        out = []
+        for c in range(3):
+            ch = block[..., c]
+            lo_all = lax.pmin(jnp.min(ch), DATA_AXIS)
+            hi_all = lax.pmax(jnp.max(ch), DATA_AXIS)
+            scale = jnp.where(hi_all > lo_all, (_BINS - 1) / (hi_all - lo_all), 0.0)
+            idx = jnp.clip((ch - lo_all) * scale, 0, _BINS - 1).astype(jnp.int32)
+            bins = jnp.arange(_BINS, dtype=jnp.int32)
+            hist = jnp.sum(idx.reshape(-1)[None, :] == bins[:, None], axis=1
+                           ).astype(jnp.float32)
+            hist = lax.psum(hist, DATA_AXIS)
+            n = H * img.shape[1]
+            p_lo = _quantile_from_hist(hist, lo_all, hi_all, l_low, n)
+            p_hi = _quantile_from_hist(hist, lo_all, hi_all, l_high, n)
+            out.append(jnp.clip((ch - p_lo) / (p_hi - p_lo + 1e-8), 0.0, 1.0))
+        return jnp.stack(out, axis=-1)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, None, None),
+        out_specs=P(DATA_AXIS, None, None),
+    )(img)
+
+
+def enhance_spatial(img: jnp.ndarray, params: Dict[str, float],
+                    mesh: Mesh) -> jnp.ndarray:
+    """Predictor-style enhance() for one huge frame sharded across chips:
+    global-percentile stretch + A=0.6 dehaze + gamma (vgg_16_UIE.py:32-55
+    semantics with the histogram percentile fast path)."""
+    out = stretch_spatial(img, float(params["L_low"]), float(params["L_high"]),
+                          mesh)
+
+    def local(block):
+        dark = jnp.min(block, axis=-1, keepdims=True)
+        t = jnp.clip(1.0 - params["omega"] * dark, 0.1, 1.0)
+        dehazed = jnp.clip((block - 0.6) / t + 0.6, 0.0, 1.0)
+        return jnp.clip(jnp.power(dehazed + 1e-8, params["gamma"]), 0.0, 1.0)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, None, None),
+        out_specs=P(DATA_AXIS, None, None),
+    )(out)

@@ -1,0 +1,358 @@
+"""Training loops — optax/orbax equivalents of the reference trainers.
+
+- ``MLPTrainer`` == EndToEndTrainer (deep_learning_parameters.py:253-459):
+  ParameterPredictor on 79-dim features -> enhance_mlp -> ReferenceLoss,
+  Adam 1e-4, grad-clip 1.0, 80/20 split, best-model checkpointing,
+  training_history.json.
+- ``VGGTrainer`` == ImprovedTrainer (vgg_16_UIE.py:481-615):
+  ImprovedVGGParameterNet -> enhance_vgg -> CombinedLoss, AdamW 1e-5 /
+  wd 1e-5, cosine warm restarts (T_0=10 epochs, T_mult=2, stepped per
+  epoch like scheduler.step()), grad-clip 1.0, frozen early VGG convs
+  (the reference freezes the first 16 conv parameter tensors = 8 convs,
+  vgg_16_UIE.py:152-154), best + every-10-epoch checkpoints, early stop
+  patience 15, resume.
+
+TPU-first: train steps are jitted once and optionally data-parallel over a
+device mesh (batch sharded on the 'data' axis; XLA inserts the gradient
+all-reduce).  bf16 compute is the AMP analog (``compute_dtype='bfloat16'``).
+Checkpoints via Orbax keep model/optimizer/history like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from underwater_image_enhancement_tpu.models import diff_enhance, losses
+from underwater_image_enhancement_tpu.models.mlp import ParameterPredictor
+from underwater_image_enhancement_tpu.models.vgg import ImprovedVGGParameterNet
+from underwater_image_enhancement_tpu.parallel.mesh import (
+    data_parallel_sharding,
+    maybe_mesh,
+)
+
+
+def cosine_warm_restarts(base_lr: float, t0: int, t_mult: int,
+                         max_epochs: int) -> optax.Schedule:
+    """CosineAnnealingWarmRestarts(T_0, T_mult), one step per EPOCH."""
+    schedules = []
+    boundaries = []
+    t = t0
+    total = 0
+    while total < max_epochs:
+        schedules.append(optax.cosine_decay_schedule(base_lr, t))
+        total += t
+        boundaries.append(total)
+        t *= t_mult
+    return optax.join_schedules(schedules, boundaries[:-1])
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute(), target=like)
+
+
+class _BaseTrainer:
+    """Shared epoch/checkpoint/early-stop machinery."""
+
+    def __init__(self):
+        self.train_losses: list = []
+        self.val_losses: list = []
+
+    def fit(self, train_batches_fn, val_batches_fn, epochs: int,
+            output_folder: str, patience: int = 15,
+            checkpoint_every: int = 10, log=print) -> Dict[str, list]:
+        """Reference loop shape (vgg_16_UIE.py:728-772): per epoch train +
+        validate, lr schedule per epoch, best/periodic ckpt, early stop."""
+        out = Path(output_folder)
+        out.mkdir(parents=True, exist_ok=True)
+        best = float("inf")
+        bad_epochs = 0
+        for epoch in range(self.start_epoch, epochs):
+            tr = self.run_epoch(train_batches_fn(), train=True)
+            va = self.run_epoch(val_batches_fn(), train=False)
+            self.train_losses.append(tr)
+            self.val_losses.append(va)
+            self.epoch_hook(epoch)
+            log(f"epoch {epoch + 1}/{epochs}: train {tr:.6f} val {va:.6f}")
+            if va < best:
+                best = va
+                bad_epochs = 0
+                self.save(str(out / "best_model"))
+            else:
+                bad_epochs += 1
+            if (epoch + 1) % checkpoint_every == 0:
+                self.save(str(out / f"checkpoint_epoch_{epoch + 1}"))
+            if bad_epochs >= patience:
+                log(f"early stopping at epoch {epoch + 1}")
+                break
+        self.save(str(out / "final_model"))
+        history = {"train_loss": self.train_losses, "val_loss": self.val_losses}
+        with open(out / "training_history.json", "w") as f:
+            json.dump(history, f, indent=2)
+        return history
+
+    def epoch_hook(self, epoch: int) -> None:
+        pass
+
+    @property
+    def start_epoch(self) -> int:
+        return len(self.train_losses)
+
+
+class MLPTrainer(_BaseTrainer):
+    """EndToEndTrainer equivalent (deep_learning_parameters.py:253-349)."""
+
+    def __init__(self, feature_dim: int = 79, hidden_dim: int = 256,
+                 num_blocks: int = 3, lr: float = 1e-4, seed: int = 0,
+                 mesh=None, stretch_mode: str = "quantile"):
+        super().__init__()
+        self.model = ParameterPredictor(feature_dim, hidden_dim, num_blocks)
+        rng = jax.random.PRNGKey(seed)
+        self.params = self.model.init(rng, jnp.zeros((1, feature_dim)))
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+        self.mesh = maybe_mesh(mesh)
+        self._step = self._build_step(stretch_mode)
+        self._eval = self._build_eval(stretch_mode)
+        self._rng = rng
+
+    def _loss_fn(self, params, imgs, refs, feats, dropout_rng, train,
+                 stretch_mode):
+        pred = self.model.apply(
+            params, feats, train=train,
+            rngs={"dropout": dropout_rng} if train else {},
+        )
+        enhanced = diff_enhance.enhance_mlp(imgs, pred, stretch_mode=stretch_mode)
+        total, _ = losses.reference_loss(enhanced, refs)
+        return total
+
+    def _build_step(self, stretch_mode):
+        shardings = data_parallel_sharding(self.mesh)
+
+        @partial(jax.jit, static_argnames=())
+        def step(params, opt_state, imgs, refs, feats, rng):
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                params, imgs, refs, feats, rng, True, stretch_mode
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def _build_eval(self, stretch_mode):
+        @jax.jit
+        def ev(params, imgs, refs, feats):
+            return self._loss_fn(params, imgs, refs, feats,
+                                 jax.random.PRNGKey(0), False, stretch_mode)
+
+        return ev
+
+    def _features(self, imgs: np.ndarray) -> jnp.ndarray:
+        from underwater_image_enhancement_tpu.features.full import extract_batch
+
+        return extract_batch(jnp.asarray(imgs))
+
+    def run_epoch(self, batches: Iterable, train: bool) -> float:
+        total, n = 0.0, 0
+        for imgs, refs in batches:
+            imgs = self._shard(jnp.asarray(imgs))
+            refs = self._shard(jnp.asarray(refs))
+            feats = self._features(imgs)
+            if train:
+                self._rng, sub = jax.random.split(self._rng)
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state, imgs, refs, feats, sub
+                )
+            else:
+                loss = self._eval(self.params, imgs, refs, feats)
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, data_parallel_sharding(self.mesh)(x))
+
+    def predict_params(self, feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self.model.apply(self.params, feats)
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "train_losses": np.asarray(self.train_losses, np.float64),
+            "val_losses": np.asarray(self.val_losses, np.float64),
+        })
+
+    def load(self, path: str) -> None:
+        like = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "train_losses": np.zeros((0,), np.float64),
+            "val_losses": np.zeros((0,), np.float64),
+        }
+        restored = restore_checkpoint(path, like)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.train_losses = list(np.asarray(restored["train_losses"]))
+        self.val_losses = list(np.asarray(restored["val_losses"]))
+
+
+class VGGTrainer(_BaseTrainer):
+    """ImprovedTrainer equivalent (vgg_16_UIE.py:481-615)."""
+
+    FROZEN_CONVS = 8  # first 16 conv param tensors = 8 (kernel, bias) pairs
+
+    def __init__(self, hidden_dim: int = 256, lr: float = 1e-5,
+                 weight_decay: float = 1e-5, epochs: int = 100,
+                 image_size: int = 224, seed: int = 0, mesh=None,
+                 compute_dtype: str = "float32",
+                 stretch_mode: str = "quantile"):
+        super().__init__()
+        self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
+        rng = jax.random.PRNGKey(seed)
+        img0 = jnp.zeros((1, image_size, image_size, 3))
+        feats0 = jnp.zeros((1, 79))
+        variables = self.model.init(rng, img0, feats0)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.vgg_loss_params = losses.init_perceptual_params(
+            jax.random.PRNGKey(seed + 1), (1, image_size, image_size, 3)
+        )
+        self.schedule = cosine_warm_restarts(lr, 10, 2, epochs)
+        self._epoch_count = 0
+
+        def freeze_mask(params):
+            def mask_leaf(path, _):
+                # freeze conv0..conv7 inside the 'vgg' trunk
+                names = [getattr(p, "key", "") for p in path]
+                if "vgg" in names:
+                    for nm in names:
+                        if nm.startswith("conv") and nm[4:].isdigit():
+                            return int(nm[4:]) < self.FROZEN_CONVS
+                return False
+
+            return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.masked(optax.set_to_zero(), freeze_mask),
+            optax.adamw(lambda _: self.schedule(self._epoch_count),
+                        weight_decay=weight_decay),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.mesh = maybe_mesh(mesh)
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self._stretch_mode = stretch_mode
+        self._rng = rng
+        self._step = self._make_step()
+        self._eval = self._make_eval()
+
+    def _forward(self, params, batch_stats, imgs, feats, refs, dropout_rng,
+                 train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        x = imgs.astype(self.compute_dtype)
+        out = self.model.apply(
+            variables, x, feats, train=train,
+            mutable=["batch_stats"] if train else [],
+            rngs={"dropout": dropout_rng} if train else {},
+        )
+        if train:
+            pred, updates = out
+            new_stats = updates["batch_stats"]
+        else:
+            pred, new_stats = out, batch_stats
+        pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
+        enhanced = diff_enhance.enhance_vgg(imgs, pred,
+                                            stretch_mode=self._stretch_mode)
+        total, comps = losses.combined_loss(self.vgg_loss_params, enhanced, refs)
+        return total, (comps, new_stats)
+
+    def _make_step(self):
+        @jax.jit
+        def step(params, batch_stats, opt_state, imgs, feats, refs, rng):
+            (loss, (comps, new_stats)), grads = jax.value_and_grad(
+                self._forward, has_aux=True
+            )(params, batch_stats, imgs, feats, refs, rng, True)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    def _make_eval(self):
+        @jax.jit
+        def ev(params, batch_stats, imgs, feats, refs):
+            loss, _ = self._forward(params, batch_stats, imgs, feats, refs,
+                                    jax.random.PRNGKey(0), False)
+            return loss
+
+        return ev
+
+    def run_epoch(self, batches: Iterable, train: bool) -> float:
+        from underwater_image_enhancement_tpu.features.basic import extract_basic_batch
+
+        total, n = 0.0, 0
+        for imgs, refs in batches:
+            imgs = jnp.asarray(imgs)
+            refs = jnp.asarray(refs)
+            feats = extract_basic_batch(imgs)
+            if train:
+                self._rng, sub = jax.random.split(self._rng)
+                (self.params, self.batch_stats, self.opt_state, loss) = self._step(
+                    self.params, self.batch_stats, self.opt_state,
+                    imgs, feats, refs, sub,
+                )
+            else:
+                loss = self._eval(self.params, self.batch_stats, imgs, feats, refs)
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def epoch_hook(self, epoch: int) -> None:
+        self._epoch_count = epoch + 1  # scheduler.step() per epoch
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "train_losses": np.asarray(self.train_losses, np.float64),
+            "val_losses": np.asarray(self.val_losses, np.float64),
+        })
+
+    def load(self, path: str) -> None:
+        like = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "train_losses": np.zeros((0,), np.float64),
+            "val_losses": np.zeros((0,), np.float64),
+        }
+        restored = restore_checkpoint(path, like)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.opt_state = restored["opt_state"]
+        self.train_losses = list(np.asarray(restored["train_losses"]))
+        self.val_losses = list(np.asarray(restored["val_losses"]))
