@@ -1,0 +1,73 @@
+"""Benchmark: end-to-end enhance() throughput at 1080p on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 2000 fps (BASELINE.json north-star target).
+
+Methodology notes (this container tunnels to the chip, so naive timing is
+unreliable): inputs are generated ON DEVICE, N distinct frames are enhanced
+inside one jitted program whose outputs are folded to one scalar, and the
+tunnel round-trip (measured with an identity program) is subtracted.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline.enhance import enhance_batch
+
+    H, W = 1080, 1920
+    N = 16          # frames per timed program
+    REPS = 4        # timed repetitions (median reported)
+
+    dev = jax.devices()[0]
+
+    # on-device frame generation (uniform noise shaped to [0.05, 0.95])
+    @jax.jit
+    def make_frames(key):
+        u = jax.random.uniform(key, (N, H, W, 3), jnp.float32)
+        return u * 0.9 + 0.05
+
+    frames = make_frames(jax.random.PRNGKey(0))
+    frames.block_until_ready()
+
+    @jax.jit
+    def run(frames):
+        out = enhance_batch(frames, 10.0, 90.0, 0.6, 1.2, stretch_mode="hist")
+        return jnp.sum(out[:, ::256, ::256, 0])  # fold: forces full compute
+
+    # warm up / compile
+    float(run(frames))
+
+    # tunnel RTT probe
+    ident = jax.jit(lambda x: x + 1.0)
+    z = jax.device_put(np.zeros((4, 4), np.float32))
+    float(np.asarray(ident(z))[0, 0])
+    t0 = time.time()
+    for _ in range(5):
+        _ = np.asarray(ident(z))
+    rtt = (time.time() - t0) / 5
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        _ = float(run(frames))
+        times.append(time.time() - t0 - rtt)
+    per_frame = max(float(np.median(times)), 1e-9) / N
+    fps = 1.0 / per_frame
+
+    print(json.dumps({
+        "metric": "enhance_1080p_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

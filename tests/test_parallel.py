@@ -79,16 +79,17 @@ def test_data_parallel_train_step_agrees_with_single(mesh8, rng):
         return total
 
     @jax.jit
-    def step(p, o, im, rf, ft):
-        l, g = jax.value_and_grad(loss_fn)(p, im, rf, ft)
-        up, o = tx.update(g, o, p)
-        return optax.apply_updates(p, up), l
+    def grads(p, im, rf, ft):
+        return jax.value_and_grad(loss_fn)(p, im, rf, ft)
 
-    p1, l1 = step(params, opt, imgs, refs, feats)
+    l1, g1 = grads(params, imgs, refs, feats)
     batch = meshmod.shard_batch({"im": imgs, "rf": refs, "ft": feats}, mesh8)
-    p2, l2 = step(params, opt, batch["im"], batch["rf"], batch["ft"])
+    l2, g2 = grads(params, batch["im"], batch["rf"], batch["ft"])
     assert abs(float(l1) - float(l2)) < 1e-5
-    flat1 = jax.tree.leaves(p1)
-    flat2 = jax.tree.leaves(p2)
-    for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # compare gradients (sharded all-reduce vs single-device), not post-Adam
+    # params: Adam's m/sqrt(v) normalization amplifies reduction-order noise
+    # on near-zero grads unboundedly
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 1e-3

