@@ -142,3 +142,8 @@ def test_selector_system_end_to_end(tmp_path):
     label, probs = sys_.predict(str(raw / "i0.png"))
     assert isinstance(label, str)
     assert abs(sum(probs.values()) - 1.0) < 1e-6
+
+    text = sys_.classification_report()
+    assert "confusion matrix" in text
+    assert (tmp_path / "out" / "reports" / "classification_report.txt").exists()
+    assert (tmp_path / "out" / "reports" / "confusion_matrix.png").exists()

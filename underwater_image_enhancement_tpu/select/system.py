@@ -233,3 +233,62 @@ class SelfSupervisedSystem:
             pr = self.classifier.predict_proba(scaled)[0]
             probs = {str(c): float(p) for c, p in zip(self.classifier.classes_, pr)}
         return label, probs
+
+    # ---------------- Reports (main.py:337-396) ----------------
+
+    def classification_report(self) -> str:
+        """Text report + confusion matrix on the held-out split
+        (main.py:337-374)."""
+        from sklearn.metrics import classification_report as cr
+        from sklearn.metrics import confusion_matrix
+        from sklearn.model_selection import train_test_split
+
+        X = np.stack([d.features for d in self.dataset])
+        y = np.array([d.best_strategy for d in self.dataset])
+        counts = {c: int((y == c).sum()) for c in set(y)}
+        strat = y if min(counts.values()) >= 2 else None
+        _, X_te, _, y_te = train_test_split(
+            X, y, test_size=self.config.test_size,
+            random_state=self.config.random_seed, stratify=strat,
+        )
+        pred = self.classifier.predict(self.scaler.transform(X_te))
+        rep = cr(y_te, pred, zero_division=0)
+        cm = confusion_matrix(y_te, pred, labels=self.classes_)
+        lines = [rep, "", "confusion matrix (rows=true, cols=pred):",
+                 "  " + " ".join(f"{c[:10]:>12}" for c in self.classes_)]
+        for c, row in zip(self.classes_, cm):
+            lines.append(f"{c[:12]:>12} " + " ".join(f"{v:>12}" for v in row))
+        text = "\n".join(lines)
+        path = Path(self.config.report_folder) / "classification_report.txt"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(text)
+        self._confusion_png(cm)
+        return text
+
+    def _confusion_png(self, cm: np.ndarray) -> None:
+        """Confusion-matrix heatmap PNG (main.py:376-396, matplotlib in
+        place of seaborn)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(cm, cmap="Blues")
+        ax.set_xticks(range(len(self.classes_)))
+        ax.set_yticks(range(len(self.classes_)))
+        ax.set_xticklabels(self.classes_, rotation=45, ha="right", fontsize=7)
+        ax.set_yticklabels(self.classes_, fontsize=7)
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center",
+                        fontsize=8)
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(Path(self.config.report_folder) / "confusion_matrix.png",
+                    dpi=150)
+        plt.close(fig)
