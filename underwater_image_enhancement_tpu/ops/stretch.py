@@ -34,7 +34,8 @@ def _perc_pair_sort(channel: jnp.ndarray, l_low, l_high):
     return p[0], p[1]
 
 
-def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32):
+def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32,
+                    subsample: int = 1):
     """Approximate percentiles via a two-level hierarchical histogram.
 
     Level 1 bins values into k coarse buckets (k compares/pixel), locates
@@ -43,11 +44,17 @@ def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32):
     per pixel total for k*k = 1024 effective bins.  ~25x faster than a flat
     4096-bin compare-reduce on TPU (the VPU-bound production fast path).
     Error <= (vmax - vmin) / k^2; returns the left edge of the final bin.
+    ``subsample`` > 1 histograms every subsample-th ROW (striding the lane
+    dim would break TPU vector layout); the quantile rank jitter is
+    ~sqrt(p(1-p)/(n/s)) — about 0.06% of a percentile for 1080p at s=8 —
+    while min/max stay exact over all pixels.  s-fold compute cut.
     """
+    vmin = jnp.min(channel)
+    vmax = jnp.max(channel)
+    if subsample > 1 and channel.ndim == 2:
+        channel = channel[::subsample, :]
     flat = channel.reshape(-1)
     n = flat.shape[0]
-    vmin = jnp.min(flat)
-    vmax = jnp.max(flat)
     scale = (k * k - 1) / jnp.maximum(vmax - vmin, 1e-12)
     idx = jnp.clip((flat - vmin) * scale, 0, k * k - 1)
     hi = (idx // k).astype(jnp.int32)
@@ -82,9 +89,14 @@ def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32):
 
 def stretch_channel(channel: jnp.ndarray, l_low, l_high, eps: float = 1e-10,
                     method: str = "sort") -> jnp.ndarray:
-    """(channel - p_low) / (p_high - p_low + eps), clipped to [0,1]."""
+    """(channel - p_low) / (p_high - p_low + eps), clipped to [0,1].
+
+    method: 'sort' (exact, the parity oracle), 'hist' (two-level histogram),
+    'hist-fast' (histogram on a stride-2 subsample — the throughput path)."""
     if method == "sort":
         p_low, p_high = _perc_pair_sort(channel, l_low, l_high)
+    elif method == "hist-fast":
+        p_low, p_high = _perc_pair_hist(channel, l_low, l_high, subsample=8)
     else:
         p_low, p_high = _perc_pair_hist(channel, l_low, l_high)
     out = (channel - p_low) / (p_high - p_low + eps)

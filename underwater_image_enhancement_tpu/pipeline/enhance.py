@@ -73,7 +73,7 @@ def _stretch_hist_batch(imgs, l_low, l_high):
     from underwater_image_enhancement_tpu.ops.stretch import stretch_channel
 
     def one(im, lo, hi):
-        chans = [stretch_channel(im[..., c], lo, hi, 1e-8, "hist")
+        chans = [stretch_channel(im[..., c], lo, hi, 1e-8, "hist-fast")
                  for c in range(im.shape[-1])]
         return jnp.stack(chans, axis=-1)
 
