@@ -82,7 +82,7 @@ def _cmd_six(args) -> None:
         if img is None:
             print(f"  unreadable: {p.name}")
             continue
-        outs, code = six_strategy_single(jnp.asarray(img))
+        outs, code = six_strategy_single(jnp.asarray(img), fast=args.fast)
         outs = np.asarray(outs)
         cast_name = cast_mod.CAST_NAMES[int(code)]
         for k, name in enumerate(SIX_ORDER):
@@ -244,6 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("six", help="run all six strategies per image")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="histogram percentiles (throughput mode, ~55dB vs exact)")
     p.set_defaults(fn=_cmd_six)
 
     p = sub.add_parser("auto", help="best-of-5-strategies per image")

@@ -97,12 +97,17 @@ def enhance(img: jnp.ndarray, params: Optional[Dict[str, float]] = None,
 SIX_ORDER = tuple(SIX_STRATEGIES)  # strong, medium, light, clahe, wb, hist_eq
 
 
-@jax.jit
-def six_strategy_single(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("fast",))
+def six_strategy_single(img: jnp.ndarray, fast: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One image -> (6, H, W, 3) stack of all six strategies (after cast
-    correction) + the cast code (six_stadigy.py:392-447 per-image body)."""
+    correction) + the cast code (six_stadigy.py:392-447 per-image body).
+    fast=True uses histogram percentiles (the batch-throughput mode)."""
+    from underwater_image_enhancement_tpu.pipeline.six import SIX_STRATEGIES_FAST
+
+    table = SIX_STRATEGIES_FAST if fast else SIX_STRATEGIES
     corrected, code = cast_mod.detect_and_correct(img)
-    outs = jnp.stack([SIX_STRATEGIES[k](corrected) for k in SIX_ORDER])
+    outs = jnp.stack([table[k](corrected) for k in SIX_ORDER])
     return outs, code
 
 

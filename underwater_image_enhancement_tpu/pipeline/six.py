@@ -28,81 +28,98 @@ def _restore(img, omega, radius, eps):
     return dehaze.recover_image(img, t, A)
 
 
-@jax.jit
-def strategy1_strong_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy1_strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:230-239: omega .3 r20 eps .5 -> stretch 5-98 ->
     CLAHE 3.0 -> gamma**1.5."""
     def one(im):
         rec = _restore(im, 0.3, 20, 5e-1)
-        e = stretch.enhance_contrast(rec, 5.0, 98.0)
+        e = stretch.enhance_contrast(rec, 5.0, 98.0, method=method)
         e = histeq.clahe_enhancement(e, 3.0)
         return stretch.gamma_correction_pow(e, 1.5)
 
     return _per_image(one, img)
 
 
-@jax.jit
-def strategy2_medium_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy2_medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:241-249: omega .5 r15 eps .5 -> stretch 15-95 -> CLAHE 2.0."""
     def one(im):
         rec = _restore(im, 0.5, 15, 5e-1)
-        e = stretch.enhance_contrast(rec, 15.0, 95.0)
+        e = stretch.enhance_contrast(rec, 15.0, 95.0, method=method)
         return histeq.clahe_enhancement(e, 2.0)
 
     return _per_image(one, img)
 
 
-@jax.jit
-def strategy3_light_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy3_light_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:251-259: omega .7 r10 eps .1 -> stretch 20-85 -> WB p2."""
     def one(im):
         rec = _restore(im, 0.7, 10, 1e-1)
-        e = stretch.enhance_contrast(rec, 20.0, 85.0)
-        return stretch.white_balance(e, 2.0)
+        e = stretch.enhance_contrast(rec, 20.0, 85.0, method=method)
+        return stretch.white_balance(e, 2.0, method=method)
 
     return _per_image(one, img)
 
 
-@jax.jit
-def strategy4_clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy4_clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:261-268: CLAHE 4.0 -> stretch 10-95 -> WB p3 -> gamma**1.3."""
     def one(im):
         e = histeq.clahe_enhancement(im, 4.0)
-        e = stretch.enhance_contrast(e, 10.0, 95.0)
-        e = stretch.white_balance(e, 3.0)
+        e = stretch.enhance_contrast(e, 10.0, 95.0, method=method)
+        e = stretch.white_balance(e, 3.0, method=method)
         return stretch.gamma_correction_pow(e, 1.3)
 
     return _per_image(one, img)
 
 
-@jax.jit
-def strategy5_white_balance(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy5_white_balance(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:270-277: WB p2 -> stretch 15-90 -> CLAHE 1.5 -> gamma**1.2."""
     def one(im):
-        e = stretch.white_balance(im, 2.0)
-        e = stretch.enhance_contrast(e, 15.0, 90.0)
+        e = stretch.white_balance(im, 2.0, method=method)
+        e = stretch.enhance_contrast(e, 15.0, 90.0, method=method)
         e = histeq.clahe_enhancement(e, 1.5)
         return stretch.gamma_correction_pow(e, 1.2)
 
     return _per_image(one, img)
 
 
-@jax.jit
-def strategy6_histogram_eq(img: jnp.ndarray) -> jnp.ndarray:
+def _strategy6_histogram_eq(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:279-285: stretch 5-98 -> CLAHE 3.5 -> gamma**1.4."""
     def one(im):
-        e = stretch.enhance_contrast(im, 5.0, 98.0)
+        e = stretch.enhance_contrast(im, 5.0, 98.0, method=method)
         e = histeq.clahe_enhancement(e, 3.5)
         return stretch.gamma_correction_pow(e, 1.4)
 
     return _per_image(one, img)
 
 
-SIX_STRATEGIES = {
-    "strong_dehazing": strategy1_strong_dehazing,
-    "medium_dehazing": strategy2_medium_dehazing,
-    "light_dehazing": strategy3_light_dehazing,
-    "clahe_enhancement": strategy4_clahe_enhancement,
-    "white_balance": strategy5_white_balance,
-    "histogram_eq": strategy6_histogram_eq,
+_BUILDERS = {
+    "strong_dehazing": _strategy1_strong_dehazing,
+    "medium_dehazing": _strategy2_medium_dehazing,
+    "light_dehazing": _strategy3_light_dehazing,
+    "clahe_enhancement": _strategy4_clahe_enhancement,
+    "white_balance": _strategy5_white_balance,
+    "histogram_eq": _strategy6_histogram_eq,
 }
+
+
+def _jit_with_method(fn, method):
+    import functools
+
+    jitted = jax.jit(functools.partial(fn, method=method))
+    jitted.__doc__ = fn.__doc__
+    return jitted
+
+
+# exact sort percentiles — the parity path
+SIX_STRATEGIES = {k: _jit_with_method(f, "sort") for k, f in _BUILDERS.items()}
+# hierarchical-histogram percentiles — the batch-throughput path
+SIX_STRATEGIES_FAST = {k: _jit_with_method(f, "hist-fast")
+                       for k, f in _BUILDERS.items()}
+
+# flat aliases matching the reference method names
+strategy1_strong_dehazing = SIX_STRATEGIES["strong_dehazing"]
+strategy2_medium_dehazing = SIX_STRATEGIES["medium_dehazing"]
+strategy3_light_dehazing = SIX_STRATEGIES["light_dehazing"]
+strategy4_clahe_enhancement = SIX_STRATEGIES["clahe_enhancement"]
+strategy5_white_balance = SIX_STRATEGIES["white_balance"]
+strategy6_histogram_eq = SIX_STRATEGIES["histogram_eq"]
