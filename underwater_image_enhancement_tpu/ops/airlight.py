@@ -38,18 +38,6 @@ def _sat(x: jnp.ndarray) -> jnp.ndarray:
     return c
 
 
-def _box_sum(sat: jnp.ndarray, r0, c0, h, w):
-    """Sum of sat's source over rows [r0, r0+h), cols [c0, c0+w).  Leading
-    axes of ``sat`` are batch (e.g. the 7 SAT planes)."""
-
-    def corner(dr, dc):
-        idx = (0,) * (sat.ndim - 2) + (r0 + dr, c0 + dc)
-        sizes = sat.shape[:-2] + (1, 1)
-        return jax.lax.dynamic_slice(sat, idx, sizes).reshape(sat.shape[:-2])
-
-    return corner(h, w) - corner(0, w) - corner(h, 0) + corner(0, 0)
-
-
 @partial(jax.jit, static_argnames=("min_size",))
 def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     """Atmospheric light RGB (3,) for one (H, W, 3) image in [0,1]."""
@@ -60,17 +48,6 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
     sats = _sat(planes)  # (7, H+1, W+1)
 
-    def q_of(r0, c0, h, w):
-        s = _box_sum(sats, r0, c0, h, w)  # (7,)
-        n = (h * w).astype(jnp.float32)
-        sr, sg, sb, s2r, s2g, s2b, se = s[0], s[1], s[2], s[3], s[4], s[5], s[6]
-        t1 = (sr + sg + sb) / (3.0 * n)
-        t2 = (sb + sg - 2.0 * sr) / n
-        var = lambda s1, s2: s2 / n - (s1 / n) ** 2
-        t3 = (var(sr, s2r) + var(sg, s2g) + var(sb, s2b)) / 3.0
-        t4 = se / n
-        return t1 + t2 - t3 - t4
-
     def cond(state):
         _, _, h, w = state
         return (h > min_size) & (w > min_size)
@@ -78,16 +55,36 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     def body(state):
         r0, c0, h, w = state
         mh, mw = h // 2, w // 2
-        boxes = (
-            (r0, c0, mh, mw),
-            (r0, c0 + mw, mh, w - mw),
-            (r0 + mh, c0, h - mh, mw),
-            (r0 + mh, c0 + mw, h - mh, w - mw),
-        )
-        qs = jnp.stack([q_of(*bx) for bx in boxes])
+        # The 4 children share a 3x3 grid of SAT corners; fetch all 9 points
+        # for all 7 planes in ONE gather (the per-corner dynamic_slice
+        # version serialized ~50 latency-bound HBM reads per level).
+        rows = jnp.stack([r0, r0 + mh, r0 + h])
+        cols = jnp.stack([c0, c0 + mw, c0 + w])
+        grid = sats[:, rows[None, :, None], cols[None, None, :]][:, 0]  # (7,3,3)
+
+        def box(ri, ci, rj, cj):
+            return (grid[:, rj, cj] - grid[:, ri, cj]
+                    - grid[:, rj, ci] + grid[:, ri, ci])  # (7,)
+
+        sums = jnp.stack([box(0, 0, 1, 1), box(0, 1, 1, 2),
+                          box(1, 0, 2, 1), box(1, 1, 2, 2)])  # (4, 7)
+        ns = jnp.stack([mh * mw, mh * (w - mw), (h - mh) * mw,
+                        (h - mh) * (w - mw)]).astype(jnp.float32)
+        sr, sg, sb = sums[:, 0], sums[:, 1], sums[:, 2]
+        s2r, s2g, s2b, se = sums[:, 3], sums[:, 4], sums[:, 5], sums[:, 6]
+        t1 = (sr + sg + sb) / (3.0 * ns)
+        t2 = (sb + sg - 2.0 * sr) / ns
+        var = lambda s1, s2: s2 / ns - (s1 / ns) ** 2
+        t3 = (var(sr, s2r) + var(sg, s2g) + var(sb, s2b)) / 3.0
+        qs = t1 + t2 - t3 - se / ns  # (4,)
         k = jnp.argmax(qs)  # first max wins, like np.argmax
-        cand = jnp.array([[bx[0], bx[1], bx[2], bx[3]] for bx in boxes]).T
-        sel = cand[:, k]
+        cand = jnp.stack([
+            jnp.stack([r0, c0, mh, mw]),
+            jnp.stack([r0, c0 + mw, mh, w - mw]),
+            jnp.stack([r0 + mh, c0, h - mh, mw]),
+            jnp.stack([r0 + mh, c0 + mw, h - mh, w - mw]),
+        ])
+        sel = cand[k]
         return sel[0], sel[1], sel[2], sel[3]
 
     z = jnp.int32(0)

@@ -168,16 +168,17 @@ def _table_lookup_matmul(idx: jnp.ndarray, table_np, lo_width: int = 64) -> jnp.
     (no lax.scan — per-step dispatch overhead dominated a chunked-scan
     version ~10x): tmp = onehot(lo) @ T2.T gives each pixel the values of
     its lo-offset across every hi-page, then a compare-select over hi pages
-    picks the right one.  fp32 with Precision.HIGHEST keeps integer table
-    values up to 2^24 exact.  Per-pixel cost: lo_width compares (VPU) +
-    lo_width*hi_n MACs (MXU) + hi_n selects (VPU).
+    picks the right one.  Precision.HIGH (bf16x3) is exact here: any fp32
+    value splits into 3 bf16 mantissa chunks, the one-hot rows select a
+    single table entry, and the f32 accumulator re-sums the chunks exactly.
+    Per-pixel cost: lo_width compares (VPU) + T MACs (MXU) + hi_n selects.
     """
     import numpy as _np
 
     tab = _np.asarray(table_np, _np.float32)
     T = int(tab.shape[0])
     flat = idx.reshape(-1)
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGH
 
     lo_w = min(lo_width, T)
     hi_n = -(-T // lo_w)
