@@ -95,13 +95,17 @@ def _shift_zero(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 _TG22 = 13573  # tan(22.5 deg) in Q15, as in OpenCV canny.cpp
 
 
-@partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters"))
+@partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters", "use_pallas"))
 def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
-             hysteresis_iters: int = 64) -> jnp.ndarray:
+             hysteresis_iters: int = 64, use_pallas: bool = False) -> jnp.ndarray:
     """cv2.Canny(gray, low, high) on a uint8-valued int32 plane -> {0,1} mask.
 
     L1 gradient (|dx|+|dy|), 3x3 Sobel with REPLICATE border, OpenCV's
     integer NMS sector logic, bounded hysteresis (see module docstring).
+    use_pallas=True (requires hysteresis_iters == 64) runs the propagation
+    in the VMEM-banded Pallas kernel (ops/pallas_kernels.py) — bit-identical
+    output; measured at parity with the XLA loop on v5e (XLA schedules the
+    dilate chain well), kept as the iteration-in-VMEM reference kernel.
     """
     g = gray_u8.astype(jnp.int32)
     dx = conv3x3(g, _SOBEL_X, "edge")
@@ -132,6 +136,14 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
     cand = (m > low) & keep
     strong = cand & (m > high)
     weak = cand & ~strong
+
+    if use_pallas and hysteresis_iters == 64 and strong.ndim == 2:
+        from underwater_image_enhancement_tpu.ops.pallas_kernels import (
+            hysteresis_propagate,
+        )
+
+        return hysteresis_propagate(strong.astype(jnp.int32),
+                                    weak.astype(jnp.int32))
 
     def body(_, e):
         return e | (weak & _dilate8(e))
