@@ -147,3 +147,53 @@ def test_selector_system_end_to_end(tmp_path):
     assert "confusion matrix" in text
     assert (tmp_path / "out" / "reports" / "classification_report.txt").exists()
     assert (tmp_path / "out" / "reports" / "confusion_matrix.png").exists()
+
+
+def test_flax_mlp_classifier(rng):
+    from underwater_image_enhancement_tpu.select.mlp_classifier import (
+        FlaxMLPClassifier,
+    )
+
+    X = rng.normal(0, 1, (80, 79)).astype(np.float32)
+    y = np.where(X[:, 0] > 0, "a", "b")
+    clf = FlaxMLPClassifier(hidden_dim=32, epochs=100).fit(X, y)
+    acc = (clf.predict(X) == y).mean()
+    assert acc > 0.9
+    proba = clf.predict_proba(X[:5])
+    assert proba.shape == (5, 2)
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+    # picklable like the sklearn classifiers
+    import pickle
+
+    clf2 = pickle.loads(pickle.dumps(clf))
+    assert (clf2.predict(X) == clf.predict(X)).all()
+
+
+def test_torch_vgg_weight_import():
+    """load_torch_vgg_features maps a torchvision-style state_dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.models.vgg import (
+        VGGFeatures,
+        load_torch_vgg_features,
+    )
+
+    model = VGGFeatures(depth=10)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(0)
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    plan = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]
+    state = {}
+    in_ch = 3
+    for ti, out_ch in zip(conv_idx, plan):
+        state[f"{ti}.weight"] = rng.normal(0, 0.1, (out_ch, in_ch, 3, 3)).astype(np.float32)
+        state[f"{ti}.bias"] = rng.normal(0, 0.1, (out_ch,)).astype(np.float32)
+        in_ch = out_ch
+    new = load_torch_vgg_features(dict(params["params"]), state, prefix="")
+    w0 = np.asarray(new["conv0"]["kernel"])
+    np.testing.assert_allclose(
+        w0, state["0.weight"].transpose(2, 3, 1, 0), atol=1e-7
+    )
+    out = model.apply({"params": new}, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out)).all()

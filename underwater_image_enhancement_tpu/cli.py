@@ -96,6 +96,12 @@ def _cmd_six(args) -> None:
         done = i + 1
         eta = (time.time() - t_start) / done * (len(files) - done)
         print(f"[{done}/{len(files)}] {p.name} ({cast_name}) eta {eta/60:.1f}m")
+    tally = {}
+    for r in rows:
+        tally[r["image_type"]] = tally.get(r["image_type"], 0) + 1
+    n_strat = max(1, len(SIX_ORDER))
+    print("image types: " + ", ".join(
+        f"{k} {v // n_strat}" for k, v in sorted(tally.items())))
     log_path = outdir / "processing_log.csv"
     with open(log_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -11,8 +11,8 @@ Phase 2 (train_classifier, main.py:225-335): stratified 80/20 split,
 StandardScaler, RandomForest/GradientBoosting/SVC with config.py:100-119
 hyperparameters, 5-fold CV, best-by-test-accuracy selection, pickled
 artifacts.  The tabular classifier stays host-side sklearn (it sees only
-79-dim vectors); a Flax MLP alternative is available via
-``classifier='mlp'``.
+79-dim vectors); an on-device Flax MLP alternative is available via
+``train_classifier(include_mlp=True)``.
 
 predict (main.py:398-434): features -> scale -> classifier -> (label,
 probabilities).
@@ -101,6 +101,18 @@ class SelfSupervisedSystem:
                 f"{path.stem}_{item.best_strategy}.png"
             )
             uio.imwrite_unit(str(out_path), best_img)
+            if self.config.save_all_enhanced:  # config.py:123
+                import jax.numpy as jnp
+
+                for key, fn in STRATEGY_FNS.items():
+                    name = STRATEGY_DISPLAY[key]
+                    if name == item.best_strategy:
+                        continue
+                    uio.imwrite_unit(
+                        str(Path(self.config.strategy_folder)
+                            / f"{path.stem}_{name}.png"),
+                        np.asarray(fn(jnp.asarray(img))),
+                    )
             row = {"filename": path.name, "best_strategy": item.best_strategy,
                    "best_score": item.best_score}
             row.update(item.all_scores)
@@ -144,8 +156,11 @@ class SelfSupervisedSystem:
 
     # ---------------- Phase 2 ----------------
 
-    def train_classifier(self, log=print) -> Dict[str, Dict[str, float]]:
-        """main.py:225-335: scale, fit RF/GB/SVC, 5-fold CV, pick best."""
+    def train_classifier(self, log=print,
+                         include_mlp: bool = False) -> Dict[str, Dict[str, float]]:
+        """main.py:225-335: scale, fit RF/GB/SVC, 5-fold CV, pick best.
+        include_mlp adds the on-device FlaxMLPClassifier to the candidate
+        zoo (TPU-resident alternative; not in the reference)."""
         from sklearn.ensemble import (
             GradientBoostingClassifier,
             RandomForestClassifier,
@@ -177,12 +192,18 @@ class SelfSupervisedSystem:
                 **self.config.classifiers["gradient_boosting"]),
             "svm": SVC(probability=True, **self.config.classifiers["svm"]),
         }
+        if include_mlp:
+            from underwater_image_enhancement_tpu.select.mlp_classifier import (
+                FlaxMLPClassifier,
+            )
+
+            zoo["mlp"] = FlaxMLPClassifier()
         best_name, best_acc = None, -1.0
         for name, clf in zoo.items():
             clf.fit(X_trs, y_tr)
             acc = accuracy_score(y_te, clf.predict(X_tes))
             cv_folds = min(self.config.cv_folds, min(counts.values()))
-            if cv_folds >= 2:
+            if cv_folds >= 2 and name != "mlp":
                 cv = cross_val_score(clf, X_trs, y_tr, cv=cv_folds)
                 cv_mean, cv_std = float(cv.mean()), float(cv.std())
             else:

@@ -86,24 +86,36 @@ class _BaseTrainer:
         out.mkdir(parents=True, exist_ok=True)
         best = float("inf")
         bad_epochs = 0
-        for epoch in range(self.start_epoch, epochs):
-            tr = self.run_epoch(train_batches_fn(), train=True)
-            va = self.run_epoch(val_batches_fn(), train=False)
-            self.train_losses.append(tr)
-            self.val_losses.append(va)
-            self.epoch_hook(epoch)
-            log(f"epoch {epoch + 1}/{epochs}: train {tr:.6f} val {va:.6f}")
-            if va < best:
-                best = va
-                bad_epochs = 0
-                self.save(str(out / "best_model"))
-            else:
-                bad_epochs += 1
-            if (epoch + 1) % checkpoint_every == 0:
-                self.save(str(out / f"checkpoint_epoch_{epoch + 1}"))
-            if bad_epochs >= patience:
-                log(f"early stopping at epoch {epoch + 1}")
-                break
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                tr = self.run_epoch(train_batches_fn(), train=True)
+                va = self.run_epoch(val_batches_fn(), train=False)
+                self.train_losses.append(tr)
+                self.val_losses.append(va)
+                self.epoch_hook(epoch)
+                log(f"epoch {epoch + 1}/{epochs}: train {tr:.6f} val {va:.6f}")
+                if va < best:
+                    best = va
+                    bad_epochs = 0
+                    self.save(str(out / "best_model"))
+                else:
+                    bad_epochs += 1
+                if (epoch + 1) % checkpoint_every == 0:
+                    self.save(str(out / f"checkpoint_epoch_{epoch + 1}"))
+                if bad_epochs >= patience:
+                    log(f"early stopping at epoch {epoch + 1}")
+                    break
+        except KeyboardInterrupt:
+            # interrupt checkpoint (vgg_16_UIE.py:796-799)
+            log("interrupted — saving checkpoint")
+            self.save(str(out / "interrupted_checkpoint"))
+            raise
+        except Exception as e:  # OOM advice (vgg_16_UIE.py:778-786)
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                log("out of device memory — reduce batch size or image "
+                    "resolution; saving checkpoint")
+                self.save(str(out / "oom_checkpoint"))
+            raise
         self.save(str(out / "final_model"))
         history = {"train_loss": self.train_losses, "val_loss": self.val_losses}
         with open(out / "training_history.json", "w") as f:

@@ -109,6 +109,10 @@ class Config:
     random_seed: int = 42           # config.py:96
     cv_folds: int = 5               # config.py:97
     save_all_enhanced: bool = False  # config.py:123
+    # config.py:89-92 — declared by the reference but never read there;
+    # carried for config-surface parity
+    use_deep_features: bool = False
+    deep_feature_model: str = "vgg16"
     show_progress: bool = True       # config.py:126
     log_level: str = "INFO"
     strategies: Dict[str, Dict[str, Any]] = dataclasses.field(
