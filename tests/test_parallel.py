@@ -93,3 +93,15 @@ def test_data_parallel_train_step_agrees_with_single(mesh8, rng):
         a, b = np.asarray(a), np.asarray(b)
         denom = max(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 1e-3
+
+
+def test_enhance_batch_dp_matches_single(mesh8, rng):
+    from underwater_image_enhancement_tpu.pipeline.enhance import (
+        enhance_batch,
+        enhance_batch_dp,
+    )
+
+    imgs = rng.random((8, 32, 48, 3)).astype(np.float32)
+    got = np.asarray(enhance_batch_dp(jnp.asarray(imgs), 10.0, 90.0, 0.6, 1.2, mesh8))
+    want = np.asarray(enhance_batch(jnp.asarray(imgs), 10.0, 90.0, 0.6, 1.2))
+    np.testing.assert_allclose(got, want, atol=1e-6)

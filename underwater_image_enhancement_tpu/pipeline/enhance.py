@@ -135,3 +135,15 @@ def auto_enhance_batch(imgs: jnp.ndarray):
         stacks, best[:, None, None, None, None], axis=1
     )[:, 0]
     return best_imgs, best, scores
+
+
+def enhance_batch_dp(imgs, l_low, l_high, omega, gamma, mesh,
+                     stretch_mode: str = "hist"):
+    """Data-parallel enhance_batch: shard the batch over a 1-D device mesh
+    (each image's percentile reductions are per-image, so XLA partitions the
+    whole program along the batch with zero collectives)."""
+    from underwater_image_enhancement_tpu.parallel.mesh import shard_batch
+
+    sharded = shard_batch(imgs, mesh)
+    return enhance_batch(sharded, l_low, l_high, omega, gamma,
+                         stretch_mode=stretch_mode)
