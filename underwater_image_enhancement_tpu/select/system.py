@@ -198,12 +198,22 @@ class SelfSupervisedSystem:
             )
 
             zoo["mlp"] = FlaxMLPClassifier()
+        if len(set(y)) < 2:
+            log("warning: every image got the same best strategy — "
+                "classifiers that require >=2 classes will be skipped")
         best_name, best_acc = None, -1.0
         for name, clf in zoo.items():
-            clf.fit(X_trs, y_tr)
+            try:
+                clf.fit(X_trs, y_tr)
+            except ValueError as e:  # e.g. single-class GB/SVC
+                log(f"{name}: skipped ({e})")
+                self.results[name] = {"test_accuracy": float("nan"),
+                                      "cv_mean": float("nan"),
+                                      "cv_std": float("nan")}
+                continue
             acc = accuracy_score(y_te, clf.predict(X_tes))
-            cv_folds = min(self.config.cv_folds, min(counts.values()))
-            if cv_folds >= 2 and name != "mlp":
+            cv_folds = min(self.config.cv_folds, min(counts.values()), len(X_tr))
+            if cv_folds >= 2 and len(set(y_tr)) >= 2 and name != "mlp":
                 cv = cross_val_score(clf, X_trs, y_tr, cv=cv_folds)
                 cv_mean, cv_std = float(cv.mean()), float(cv.std())
             else:
@@ -214,6 +224,8 @@ class SelfSupervisedSystem:
             if acc > best_acc:
                 best_name, best_acc = name, acc
                 self.classifier = clf
+        if self.classifier is None:
+            raise RuntimeError("no classifier could be trained on this dataset")
         self.classes_ = sorted(set(y))
         self._save_model(best_name)
         return self.results
