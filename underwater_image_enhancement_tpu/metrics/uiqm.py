@@ -24,8 +24,6 @@ numpy float64; the parity gate is <1% relative difference.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

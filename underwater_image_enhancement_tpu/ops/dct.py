@@ -13,8 +13,6 @@ the documented happy-path behavior (SURVEY.md F6).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -119,7 +119,6 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
     tg67x = tg22x + (ax << 16)
     horiz = ay < tg22x              # gradient mostly horizontal -> compare L/R
     vert = ay > tg67x               # mostly vertical -> compare U/D
-    diag = ~horiz & ~vert
     s_pos = (dx ^ dy) < 0           # opposite signs -> anti-diagonal
 
     def sh(dy_, dx_):

@@ -14,8 +14,6 @@ CPU test suite exercises the same code path.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,8 +20,6 @@ testing/golden_features.py) follows skimage's documented/Cython behavior:
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

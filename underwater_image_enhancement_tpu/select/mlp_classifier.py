@@ -8,8 +8,6 @@ so this exists for deployments that want the whole pipeline on-device.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 
