@@ -27,13 +27,11 @@ def test_quantize_truncates():
     np.testing.assert_array_equal(got, want)
 
 
-def test_hsv_u8_close(rgb_u8):
-    got = np.asarray(cs.rgb_to_hsv_u8(rgb_u8.astype(np.int32)))
-    want = cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2HSV).astype(np.int32)
-    # V bit-exact, H/S within 1 LSB on a small fraction of pixels
-    np.testing.assert_array_equal(got[..., 2], want[..., 2])
-    assert np.abs(got - want).max() <= 1
-    assert (got != want).mean() < 0.05
+def test_hsv_u8_bit_exact(rgb_u8, underwater_img):
+    for img in [rgb_u8, (underwater_img * 255).astype(np.uint8)]:
+        got = np.asarray(cs.rgb_to_hsv_u8(img.astype(np.int32)))
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
 
 
 def test_lab_u8_close(rgb_u8):
