@@ -7,7 +7,11 @@ sharding logic can be validated without TPU hardware (SURVEY.md §4: the
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon TPU default
+# UIE_TEST_TPU=1 runs the suite on the real chip (slow: remote compiles);
+# default is the CPU backend with 8 virtual devices.
+_USE_TPU = os.environ.get("UIE_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon TPU default
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,11 +28,12 @@ import pytest  # noqa: E402
 # The container's sitecustomize registers the axon TPU backend at interpreter
 # startup (before conftest), so env vars alone don't stick — force the CPU
 # platform and drop any already-initialized backends.
-jax.config.update("jax_platforms", "cpu")
-from jax.extend.backend import clear_backends  # noqa: E402
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
 
-clear_backends()
-assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+    clear_backends()
+    assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 # Persistent compilation cache: the suite is compile-dominated; repeated runs
 # reuse compiled programs across processes.

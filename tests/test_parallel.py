@@ -13,7 +13,8 @@ from tests.conftest import psnr
 
 @pytest.fixture(scope="module")
 def mesh8():
-    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    if len(jax.devices()) < 8:  # e.g. UIE_TEST_TPU=1 with one real chip
+        pytest.skip("needs 8 devices (CPU backend provides them)")
     return meshmod.make_mesh(8)
 
 
