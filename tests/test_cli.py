@@ -59,3 +59,18 @@ def test_cli_build_dataset_and_selector(img_folder, tmp_path, capsys):
     assert (out / "trained_models" / "trained_model.pkl").exists()
     text = capsys.readouterr().out
     assert "labeled 6 images" in text
+
+
+def test_cli_six_mixed_sizes_and_batching(tmp_path, rng):
+    """Same-shape groups batch together; mixed shapes still all process."""
+    src = tmp_path / "mixed"
+    for i in range(3):
+        uio.imwrite_unit(str(src / f"a{i}.png"),
+                         rng.random((32, 40, 3)).astype(np.float32))
+    uio.imwrite_unit(str(src / "b0.png"),
+                     rng.random((48, 40, 3)).astype(np.float32))
+    out = tmp_path / "o"
+    main(["six", "--input", str(src), "--output", str(out), "--fast",
+          "--batch-size", "2"])
+    pngs = [f for f in out.iterdir() if f.suffix == ".png"]
+    assert len(pngs) == 4 * 6

@@ -197,3 +197,25 @@ def test_torch_vgg_weight_import():
     )
     out = model.apply({"params": new}, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_imread_gray_and_rgba(tmp_path, rng):
+    """main.py:96-105 conversions: gray and RGBA inputs become RGB float."""
+    import cv2
+
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    gray = rng.integers(0, 256, (20, 24), dtype=np.uint8)
+    cv2.imwrite(str(tmp_path / "g.png"), gray)
+    img = uio.imread_unit(str(tmp_path / "g.png"))
+    assert img.shape == (20, 24, 3)
+    np.testing.assert_allclose(img[..., 0], img[..., 1])
+
+    rgba = rng.integers(0, 256, (20, 24, 4), dtype=np.uint8)
+    cv2.imwrite(str(tmp_path / "a.png"), rgba)
+    img2 = uio.imread_unit(str(tmp_path / "a.png"))
+    assert img2.shape == (20, 24, 3)
+
+    assert uio.imread_unit(str(tmp_path / "missing.png")) is None
+    (tmp_path / "junk.png").write_bytes(b"not an image")
+    assert uio.imread_unit(str(tmp_path / "junk.png")) is None

@@ -59,6 +59,7 @@ def _cmd_enhance(args) -> None:
 
 
 def _cmd_six(args) -> None:
+    import jax
     import jax.numpy as jnp
 
     from underwater_image_enhancement_tpu.pipeline import cast as cast_mod
@@ -76,26 +77,49 @@ def _cmd_six(args) -> None:
     outdir.mkdir(parents=True, exist_ok=True)
     rows = []
     t_start = time.time()
-    for i, p in enumerate(files):
-        t0 = time.time()
+
+    # group same-shape images so they run as one vmapped program per group
+    # (one compile per distinct shape, device kept busy across the batch)
+    loaded = []
+    for p in files:
         img = uio.imread_unit(str(p))
         if img is None:
             print(f"  unreadable: {p.name}")
             continue
-        outs, code = six_strategy_single(jnp.asarray(img), fast=args.fast)
-        outs = np.asarray(outs)
-        cast_name = cast_mod.CAST_NAMES[int(code)]
-        for k, name in enumerate(SIX_ORDER):
-            dst = outdir / f"{p.stem}_{name}.png"
-            uio.imwrite_unit(str(dst), outs[k])
-            rows.append({
-                "filename": p.name, "image_type": cast_name, "strategy": name,
-                "status": "success", "output_path": str(dst),
-                "processing_time": f"{time.time() - t0:.2f}s",
-            })
-        done = i + 1
-        eta = (time.time() - t_start) / done * (len(files) - done)
-        print(f"[{done}/{len(files)}] {p.name} ({cast_name}) eta {eta/60:.1f}m")
+        loaded.append((p, img))
+    groups: dict = {}
+    for p, img in loaded:
+        groups.setdefault(img.shape, []).append((p, img))
+
+    six_batched = jax.jit(
+        jax.vmap(lambda im: six_strategy_single(im, fast=args.fast)),
+        static_argnames=(),
+    )
+    done = 0
+    for shape, items in groups.items():
+        bs = min(len(items), max(1, int(args.batch_size)))
+        for i in range(0, len(items), bs):
+            chunk = items[i:i + bs]
+            t0 = time.time()
+            batch = jnp.asarray(np.stack([im for _, im in chunk]))
+            outs_b, codes = six_batched(batch)
+            outs_b = np.asarray(outs_b)
+            dt = time.time() - t0
+            for j, (p, _) in enumerate(chunk):
+                cast_name = cast_mod.CAST_NAMES[int(codes[j])]
+                for k, name in enumerate(SIX_ORDER):
+                    dst = outdir / f"{p.stem}_{name}.png"
+                    uio.imwrite_unit(str(dst), outs_b[j, k])
+                    rows.append({
+                        "filename": p.name, "image_type": cast_name,
+                        "strategy": name, "status": "success",
+                        "output_path": str(dst),
+                        "processing_time": f"{dt / len(chunk):.2f}s",
+                    })
+                done += 1
+                eta = (time.time() - t_start) / done * (len(loaded) - done)
+                print(f"[{done}/{len(loaded)}] {p.name} ({cast_name}) "
+                      f"eta {eta/60:.1f}m")
     tally = {}
     for r in rows:
         tally[r["image_type"]] = tally.get(r["image_type"], 0) + 1
@@ -252,6 +276,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--fast", action="store_true",
                    help="histogram percentiles (throughput mode, ~55dB vs exact)")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="images per vmapped device batch (same-shape groups)")
     p.set_defaults(fn=_cmd_six)
 
     p = sub.add_parser("auto", help="best-of-5-strategies per image")
