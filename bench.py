@@ -22,8 +22,10 @@ def main() -> None:
     from underwater_image_enhancement_tpu.pipeline.enhance import enhance_batch
 
     H, W = 1080, 1920
-    N = 16          # frames per timed program
-    REPS = 4        # timed repetitions (median reported)
+    N = 16          # frames per inner batch
+    K = 8           # inner repetitions (perturbed) per timed program, so the
+                    # timed work (~60-100 ms) dwarfs tunnel RTT jitter
+    REPS = 5        # timed repetitions (median reported)
 
     dev = jax.devices()[0]
 
@@ -38,8 +40,12 @@ def main() -> None:
 
     @jax.jit
     def run(frames):
-        out = enhance_batch(frames, 10.0, 90.0, 0.6, 1.2, stretch_mode="hist")
-        return jnp.sum(out[:, ::256, ::256, 0])  # fold: forces full compute
+        acc = 0.0
+        for k in range(K):
+            out = enhance_batch(frames + k * 1e-6, 10.0, 90.0, 0.6, 1.2,
+                                stretch_mode="hist")
+            acc = acc + jnp.sum(out[:, ::256, ::256, 0])  # fold: full compute
+        return acc
 
     # warm up / compile
     float(run(frames))
@@ -58,7 +64,7 @@ def main() -> None:
         t0 = time.time()
         _ = float(run(frames))
         times.append(time.time() - t0 - rtt)
-    per_frame = max(float(np.median(times)), 1e-9) / N
+    per_frame = max(float(np.median(times)), 1e-9) / (N * K)
     fps = 1.0 / per_frame
 
     print(json.dumps({
