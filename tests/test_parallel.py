@@ -106,3 +106,23 @@ def test_enhance_batch_dp_matches_single(mesh8, rng):
     got = np.asarray(enhance_batch_dp(jnp.asarray(imgs), 10.0, 90.0, 0.6, 1.2, mesh8))
     want = np.asarray(enhance_batch(jnp.asarray(imgs), 10.0, 90.0, 0.6, 1.2))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_guided_filter_spatial_matches_single_device(mesh8, rng):
+    """Spatially sharded guided filter == single-device op (same math,
+    two halo exchanges), and close to the cv2 float64 oracle."""
+    from underwater_image_enhancement_tpu.ops.guided import guided_filter
+    from underwater_image_enhancement_tpu.parallel.spatial import (
+        guided_filter_spatial,
+    )
+    from underwater_image_enhancement_tpu.testing import golden
+
+    guide = rng.random((128, 96)).astype(np.float32)
+    src = rng.random((128, 96)).astype(np.float32)
+    r, eps = 7, 0.01
+    got = np.asarray(
+        guided_filter_spatial(jnp.asarray(guide), jnp.asarray(src), r, eps, mesh8)
+    )
+    single = np.asarray(guided_filter(jnp.asarray(guide), jnp.asarray(src), r, eps))
+    np.testing.assert_allclose(got, single, atol=2e-5)
+    assert psnr(got, golden.gf(guide, src, r, eps)) > 60

@@ -137,3 +137,44 @@ def enhance_spatial(img: jnp.ndarray, params: Dict[str, float],
         in_specs=P(DATA_AXIS, None, None),
         out_specs=P(DATA_AXIS, None, None),
     )(out)
+
+
+def guided_filter_spatial(guide: jnp.ndarray, src: jnp.ndarray, r: int,
+                          eps: float, mesh: Mesh) -> jnp.ndarray:
+    """He et al. guided filter of one (H, W) frame sharded on rows.
+
+    Two halo exchanges (one per box-filter stage); matches the single-device
+    ops.guided.guided_filter numerically.  Requires shard height > 2r."""
+    from underwater_image_enhancement_tpu.ops.boxfilter import _window_sum
+
+    halo = r
+
+    def _box_local(stack, h_rows):
+        # stack: (C, rows_with_halo, W); mean filter valid over the halo'd rows
+        pad_lo = r // 2
+        pad_hi = r - 1 - r // 2
+        wp = jnp.pad(stack, ((0, 0), (0, 0), (pad_lo, pad_hi)), mode="reflect")
+        s = _window_sum(_window_sum(wp, r, 1), r, 2) / float(r * r)
+        start = halo - pad_lo
+        return lax.dynamic_slice_in_dim(s, start, h_rows, axis=1)
+
+    def local(g_blk, p_blk):
+        h_rows = g_blk.shape[0]
+        gh = _exchange_halo(g_blk, halo, DATA_AXIS)
+        ph = _exchange_halo(p_blk, halo, DATA_AXIS)
+        m = _box_local(jnp.stack([gh, ph, gh * ph, gh * gh]), h_rows)
+        mean_i, mean_p, mean_ip, mean_ii = m[0], m[1], m[2], m[3]
+        cov = mean_ip - mean_i * mean_p
+        var = mean_ii - mean_i * mean_i
+        a = cov / (var + eps)
+        b = mean_p - a * mean_i
+        ah = _exchange_halo(a, halo, DATA_AXIS)
+        bh = _exchange_halo(b, halo, DATA_AXIS)
+        mab = _box_local(jnp.stack([ah, bh]), h_rows)
+        return mab[0] * g_blk + mab[1]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+    )(guide, src)
