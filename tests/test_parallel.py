@@ -126,3 +126,32 @@ def test_guided_filter_spatial_matches_single_device(mesh8, rng):
     single = np.asarray(guided_filter(jnp.asarray(guide), jnp.asarray(src), r, eps))
     np.testing.assert_allclose(got, single, atol=2e-5)
     assert psnr(got, golden.gf(guide, src, r, eps)) > 60
+
+
+def test_clahe_spatial_bit_identical(mesh8, rng):
+    """Tile-row-sharded CLAHE must equal the single-device kernel exactly
+    (local tile LUTs + one all_gather + local interpolation)."""
+    from underwater_image_enhancement_tpu.ops.histeq import clahe_u8
+    from underwater_image_enhancement_tpu.parallel.spatial import clahe_spatial
+
+    gray = rng.integers(0, 256, (128, 96)).astype(np.int32)
+    for clip in [1.5, 3.0]:
+        got = np.asarray(clahe_spatial(jnp.asarray(gray), clip, mesh8))
+        want = np.asarray(clahe_u8(jnp.asarray(gray), clip))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_clahe_spatial_mesh4(rng):
+    import jax as _jax
+
+    from underwater_image_enhancement_tpu.ops.histeq import clahe_u8
+    from underwater_image_enhancement_tpu.parallel.mesh import make_mesh
+    from underwater_image_enhancement_tpu.parallel.spatial import clahe_spatial
+
+    if len(_jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh4 = make_mesh(4)
+    gray = rng.integers(0, 256, (160, 160)).astype(np.int32)
+    got = np.asarray(clahe_spatial(jnp.asarray(gray), 2.0, mesh4))
+    want = np.asarray(clahe_u8(jnp.asarray(gray), 2.0))
+    np.testing.assert_array_equal(got, want)

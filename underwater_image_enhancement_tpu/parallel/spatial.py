@@ -178,3 +178,102 @@ def guided_filter_spatial(guide: jnp.ndarray, src: jnp.ndarray, r: int,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         out_specs=P(DATA_AXIS, None),
     )(guide, src)
+
+
+def clahe_spatial(channel_u8: jnp.ndarray, clip_limit: float,
+                  mesh: Mesh, tiles: int = 8) -> jnp.ndarray:
+    """CLAHE of one (H, W) uint8-valued plane sharded on tile rows.
+
+    The CLAHE tile structure maps naturally onto a row mesh (SURVEY.md §5):
+    each device histograms and clips its OWN tile rows, one tiny
+    ``all_gather`` shares the (tiles x tiles, 256) LUT set, and the bilinear
+    LUT interpolation is then fully local (a pixel only ever reads LUTs of
+    its 4 surrounding tiles).  Interpolation weights come in as host-exact
+    fp32 rows sharded with the image, so the result is BIT-IDENTICAL to the
+    single-device ops.histeq.clahe_u8.
+
+    Requires H, W divisible by ``tiles`` and ``tiles`` divisible by the mesh
+    size (shard = whole tile rows).
+    """
+    import numpy as _np
+
+    from underwater_image_enhancement_tpu.ops.histeq import _clahe_luts
+
+    H, W = channel_u8.shape
+    D = mesh.devices.size
+    assert H % tiles == 0 and W % tiles == 0 and tiles % D == 0, (
+        "clahe_spatial needs tile-aligned sharding")
+    th, tw = H // tiles, W // tiles
+    ty_local = tiles // D
+    pt, plf = th // 2, tw // 2
+
+    f32 = _np.float32
+    tyf = (_np.arange(H, dtype=f32) * f32(1.0 / th) - f32(0.5)).astype(f32)
+    txf = (_np.arange(W, dtype=f32) * f32(1.0 / tw) - f32(0.5)).astype(f32)
+    ya_np = (tyf - _np.floor(tyf)).astype(f32)
+    xa_np = (txf - _np.floor(txf)).astype(f32)
+    ya1_np = (f32(1.0) - ya_np).astype(f32)
+    xa1_np = (f32(1.0) - xa_np).astype(f32)
+
+    row_sizes = [th - pt] + [th] * (ty_local - 1) + [pt]
+    col_sizes = [tw - plf] + [tw] * (tiles - 1) + [plf]
+    bins = jnp.arange(256, dtype=jnp.int32)
+    bar = jax.lax.optimization_barrier
+
+    def local(xb, ya_b, ya1_b, xa_r, xa1_r):
+        tiles_loc = (
+            xb.reshape(ty_local, th, tiles, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(ty_local * tiles, th * tw)
+        )
+        luts_loc = _clahe_luts(tiles_loc, th * tw, clip_limit)
+        luts_full = lax.all_gather(luts_loc, DATA_AXIS).reshape(
+            tiles * tiles, 256)
+        dev = lax.axis_index(DATA_AXIS)
+
+        out_rows = []
+        row0 = 0
+        for s, sz in enumerate(row_sizes):
+            band = dev * ty_local + s
+            r1 = jnp.clip(band - 1, 0, tiles - 1)
+            r2 = jnp.clip(band, 0, tiles - 1)
+            seg = lax.slice_in_dim(xb, row0, row0 + sz, axis=0)
+            cols = []
+            col0 = 0
+            for cs, csz in enumerate(col_sizes):
+                c1 = min(max(cs - 1, 0), tiles - 1)
+                c2 = min(cs, tiles - 1)
+                vals = lax.slice_in_dim(seg, col0, col0 + csz, axis=1)
+                flat = vals.reshape(-1)
+                ids4 = jnp.stack([r1 * tiles + c1, r1 * tiles + c2,
+                                  r2 * tiles + c1, r2 * tiles + c2])
+                l4 = luts_full[ids4]  # (4, 256), tiny dynamic row gather
+                oh = (flat[:, None] == bins[None, :]).astype(jnp.bfloat16)
+                mapped = jax.lax.dot_general(
+                    oh, l4.astype(jnp.bfloat16).T,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cols.append(mapped.reshape(sz, csz, 4))
+                col0 += csz
+            out_rows.append(jnp.concatenate(cols, axis=1))
+            row0 += sz
+        mapped = jnp.concatenate(out_rows, axis=0)  # (Hl, W, 4)
+
+        xa = xa_r[None, :]
+        xa1 = xa1_r[None, :]
+        ya = ya_b[:, None]
+        ya1 = ya1_b[:, None]
+        top = bar(bar(mapped[..., 0] * xa1) + bar(mapped[..., 1] * xa))
+        bot = bar(bar(mapped[..., 2] * xa1) + bar(mapped[..., 3] * xa))
+        v = bar(top * ya1) + bar(bot * ya)
+        return jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                  P(None), P(None)),
+        out_specs=P(DATA_AXIS, None),
+    )(channel_u8,
+      jnp.asarray(ya_np), jnp.asarray(ya1_np),
+      jnp.asarray(xa_np), jnp.asarray(xa1_np))
