@@ -219,3 +219,17 @@ def test_imread_gray_and_rgba(tmp_path, rng):
     assert uio.imread_unit(str(tmp_path / "missing.png")) is None
     (tmp_path / "junk.png").write_bytes(b"not an image")
     assert uio.imread_unit(str(tmp_path / "junk.png")) is None
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        x = jnp.ones((8, 8)) * 2
+    with t.stage("b", sync_on=x):
+        x = x + 1
+    s = t.summary()
+    assert "a" in s and "b" in s and "avg" in s

@@ -6,10 +6,13 @@ enhancement_strategies.py:180, quality_assessment.py:25, RGB2LAB at
 enhancement_strategies.py:299, RGB2HSV at quality_assessment.py:88).  To hit
 bit-close parity, this module reproduces OpenCV's quantized conversions:
 
-- ``rgb_to_gray_u8``: bit-exact vs cv2 5.x (fixed-point, shift 15).
-- ``rgb_to_hsv_u8`` / ``rgb_to_lab_u8`` / ``lab_to_rgb_u8``: float math with
-  OpenCV's formulas (sRGB companding for LAB, H in [0,180)) and final
-  rounding; differs from cv2's fixed-point tables by <=2 LSB on rare pixels.
+- BIT-EXACT vs cv2 5.x: ``rgb_to_gray_u8`` (fixed point, shift 15),
+  ``rgb_to_hsv_u8`` (division tables), ``rgb_to_lab_u8_exact`` /
+  ``lab_to_rgb_u8_exact`` (OpenCV's full integer pipelines,
+  docs/lab_bitexact_notes.md).
+- ``rgb_to_lab_u8`` / ``lab_to_rgb_u8``: exact-FLOAT-math variants (within
+  ~2 LSB of cv2's tables on rare pixels); kept for callers that prefer the
+  mathematically exact formulas over cv2 emulation.
 
 Integer images are carried as int32 (TPU-friendly; uint8 compute is not).
 All functions are shape-polymorphic over leading batch dims: they operate on
