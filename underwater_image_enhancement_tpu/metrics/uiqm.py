@@ -18,7 +18,7 @@ UCIQE (Yang, Sowmya 2015): 0.4680*sigma_c + 0.2745*con_l + 0.2576*mu_s
 with sigma_c the std of LAB chroma, con_l the (p99 - p1) range of L, and
 mu_s the mean HSV saturation; L,a,b in CIELAB float scale (L in [0,100]).
 
-The CPU oracle (testing/golden_uiqm.py) implements the identical math in
+The CPU oracle (testing/golden_metrics.py) implements the identical math in
 numpy float64; the parity gate is <1% relative difference.
 """
 
