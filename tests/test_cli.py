@@ -61,6 +61,93 @@ def test_cli_build_dataset_and_selector(img_folder, tmp_path, capsys):
     assert "labeled 6 images" in text
 
 
+def test_cli_six_all_unreadable_writes_empty_log(tmp_path, capsys):
+    """Zero successes: no crash, a valid header-only CSV, a clear message
+    (the reference exits cleanly with an empty log, six_stadigy.py:515-520)."""
+    src = tmp_path / "bad"
+    src.mkdir()
+    (src / "junk.png").write_bytes(b"not an image")
+    out = tmp_path / "o"
+    main(["six", "--input", str(src), "--output", str(out)])
+    text = capsys.readouterr().out
+    assert "no images processed" in text
+    log = (out / "processing_log.csv").read_text().strip().splitlines()
+    assert log[0].startswith("filename,") and len(log) == 1
+
+
+def test_cli_run_full_flow(img_folder, tmp_path, capsys):
+    """One-command Phase 1 + Phase 2 (main.py:436-456)."""
+    rng = np.random.default_rng(11)
+    for i in range(4):
+        img = np.clip(rng.random((40, 48, 3)) * (0.2 + 0.2 * i), 0, 1)
+        uio.imwrite_unit(str(img_folder / f"y{i}.png"), img.astype(np.float32))
+    out = tmp_path / "sys"
+    main(["run", "--input", str(img_folder), "--output", str(out)])
+    assert (out / "reports" / "dataset_building.csv").exists()
+    assert (out / "trained_models" / "trained_model.pkl").exists()
+    text = capsys.readouterr().out
+    assert "labeled 6 images" in text
+
+
+def test_cli_convert_vgg(tmp_path, capsys):
+    """torch checkpoint -> npz -> perceptual/backbone loaders round-trip."""
+    import torch
+
+    from underwater_image_enhancement_tpu.models.vgg import (
+        TORCH_CONV_IDX,
+        load_perceptual_npz,
+    )
+
+    gen = np.random.default_rng(0)
+    plan = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]
+    state = {}
+    in_ch = 3
+    for ti, out_ch in zip(TORCH_CONV_IDX, plan):
+        state[f"features.{ti}.weight"] = torch.tensor(
+            gen.normal(0, 0.05, (out_ch, in_ch, 3, 3)).astype(np.float32))
+        state[f"features.{ti}.bias"] = torch.tensor(
+            gen.normal(0, 0.05, (out_ch,)).astype(np.float32))
+        in_ch = out_ch
+    ckpt = tmp_path / "vgg16.pth"
+    torch.save(state, str(ckpt))
+    npz = tmp_path / "vgg16.npz"
+    main(["convert-vgg", "--torch-ckpt", str(ckpt), "--out", str(npz)])
+    assert "exported 10 conv layers" in capsys.readouterr().out
+
+    vars7 = load_perceptual_npz(str(npz))
+    w = np.asarray(vars7["params"]["conv0"]["kernel"])
+    np.testing.assert_allclose(
+        w, state["features.0.weight"].numpy().transpose(2, 3, 1, 0), atol=0)
+    # trainer wiring: pretrained_vgg fills the backbone trunk AND replaces
+    # the random perceptual trunk (no warning)
+    import warnings
+
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t = VGGTrainer(hidden_dim=16, image_size=32, epochs=4,
+                       pretrained_vgg=str(npz))
+    np.testing.assert_array_equal(
+        np.asarray(t.params["vgg"]["conv0"]["kernel"]), w)
+    np.testing.assert_array_equal(
+        np.asarray(t.vgg_loss_params["params"]["conv0"]["kernel"]), w)
+
+
+def test_apply_strategy_accepts_list_params(img_unit):
+    """JSON/CLI configs produce lists; _freeze must hash them (tile_grid_size
+    is a sequence in the reference config, config.py:60)."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline.strategies import apply_strategy
+
+    out = apply_strategy(jnp.asarray(img_unit), "clahe_enhancement",
+                         {"tile_grid_size": [8, 8], "clip_limit": 2.5})
+    ref = apply_strategy(jnp.asarray(img_unit), "clahe_enhancement",
+                         {"tile_grid_size": (8, 8), "clip_limit": 2.5})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_cli_six_mixed_sizes_and_batching(tmp_path, rng):
     """Same-shape groups batch together; mixed shapes still all process."""
     src = tmp_path / "mixed"

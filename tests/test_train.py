@@ -108,6 +108,43 @@ def test_vgg_trainer_step_runs(tiny_dataset, tmp_path):
     assert moved > 0  # conv9 (conv4_3) is trainable
 
 
+def test_vgg_lr_schedule_anneals():
+    """The cosine-warm-restarts LR actually reaches the jitted step: the
+    first-step update magnitude at simulated epoch 9 shrinks by the schedule
+    ratio vs epoch 0 (reference steps the scheduler once per epoch,
+    vgg_16_UIE.py:499-501,749).  Guards against the round-1 bug where the
+    schedule was constant-folded at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.features.basic import extract_basic_batch
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    trainer = VGGTrainer(hidden_dim=16, image_size=32, lr=1e-3, epochs=40)
+    rng = np.random.default_rng(3)
+    imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+    refs = np.clip(imgs**0.8, 0, 1).astype(np.float32)
+    feats = extract_basic_batch(jnp.asarray(imgs))
+
+    def first_step_delta(epoch):
+        p, _, _, _ = trainer._step(
+            trainer.params, trainer.batch_stats, trainer.opt_state,
+            jnp.asarray(imgs), feats, jnp.asarray(refs),
+            jax.random.PRNGKey(0), jnp.asarray(epoch, jnp.int32),
+        )
+        sq = jax.tree.map(lambda a, b: float(jnp.sum((a - b) ** 2)),
+                          p, trainer.params)
+        return float(np.sqrt(sum(jax.tree.leaves(sq))))
+
+    d0 = first_step_delta(0)
+    d9 = first_step_delta(9)
+    expected = float(trainer.schedule(9) / trainer.schedule(0))  # ~0.0245
+    assert expected < 0.05
+    ratio = d9 / d0
+    # Adam's first update is ~lr*sign(g), so delta-norm scales ~linearly in lr
+    assert abs(ratio - expected) / expected < 0.1, (ratio, expected)
+
+
 def test_selector_system_end_to_end(tmp_path):
     """Phase 1 + Phase 2 on a tiny synthetic folder."""
     from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem

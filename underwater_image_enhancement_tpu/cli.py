@@ -101,9 +101,24 @@ def _cmd_six(args) -> None:
         for i in range(0, len(items), bs):
             chunk = items[i:i + bs]
             t0 = time.time()
-            batch = jnp.asarray(np.stack([im for _, im in chunk]))
-            outs_b, codes = six_batched(batch)
-            outs_b = np.asarray(outs_b)
+            try:
+                batch = jnp.asarray(np.stack([im for _, im in chunk]))
+                outs_b, codes = six_batched(batch)
+                outs_b = np.asarray(outs_b)
+            except Exception as e:
+                # failed rows per (image, strategy), six_stadigy.py:463-478
+                msg = str(e)[:50]
+                for p, _ in chunk:
+                    print(f"  failed: {p.name} - {msg}")
+                    for name in SIX_ORDER:
+                        rows.append({
+                            "filename": p.name, "image_type": "unknown",
+                            "strategy": name, "status": "failed",
+                            "output_path": f"Error: {msg}",
+                            "processing_time": "N/A",
+                        })
+                done += len(chunk)
+                continue
             dt = time.time() - t0
             for j, (p, _) in enumerate(chunk):
                 cast_name = cast_mod.CAST_NAMES[int(codes[j])]
@@ -122,15 +137,21 @@ def _cmd_six(args) -> None:
                       f"eta {eta/60:.1f}m")
     tally = {}
     for r in rows:
-        tally[r["image_type"]] = tally.get(r["image_type"], 0) + 1
+        if r["status"] == "success":
+            tally[r["image_type"]] = tally.get(r["image_type"], 0) + 1
     n_strat = max(1, len(SIX_ORDER))
     print("image types: " + ", ".join(
         f"{k} {v // n_strat}" for k, v in sorted(tally.items())))
+    # fixed header so an all-failed (or empty) run still writes a valid log
     log_path = outdir / "processing_log.csv"
     with open(log_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w = csv.DictWriter(f, fieldnames=["filename", "image_type", "strategy",
+                                          "status", "output_path",
+                                          "processing_time"])
         w.writeheader()
         w.writerows(rows)
+    if not rows:
+        print("no images processed")
     print(f"log -> {log_path}")
 
 
@@ -187,6 +208,31 @@ def _cmd_train_selector(args) -> None:
     print(json.dumps(results, indent=2))
 
 
+def _cmd_run(args) -> None:
+    """Full self-supervised flow: Phase 1 + Phase 2 in one command
+    (SelfSupervisedSystem.run, main.py:436-456)."""
+    from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    cfg = Config(image_folder=args.input, output_folder=args.output)
+    sys_ = SelfSupervisedSystem(cfg)
+    rows = sys_.build_dataset()
+    if not rows:
+        print("error: could not build dataset (no readable images)")
+        return
+    print(f"labeled {len(rows)} images")
+    results = sys_.train_classifier()
+    print(json.dumps(results, indent=2))
+    print(f"output folder: {cfg.output_folder}")
+
+
+def _cmd_convert_vgg(args) -> None:
+    from underwater_image_enhancement_tpu.models.vgg import convert_torch_vgg_to_npz
+
+    n = convert_torch_vgg_to_npz(args.torch_ckpt, args.out)
+    print(f"exported {n} conv layers -> {args.out}")
+
+
 def _cmd_train_mlp(args) -> None:
     from underwater_image_enhancement_tpu.train.data import PairedImageDataset
     from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
@@ -210,7 +256,8 @@ def _cmd_train_vgg(args) -> None:
     ds = PairedImageDataset(args.input, args.reference, target_size=224)
     tr_idx, va_idx = ds.split(0.85)
     trainer = VGGTrainer(epochs=args.epochs,
-                         compute_dtype="bfloat16" if args.bf16 else "float32")
+                         compute_dtype="bfloat16" if args.bf16 else "float32",
+                         pretrained_vgg=args.pretrained_vgg)
     if args.resume:
         trainer.load(args.resume)
     trainer.fit(
@@ -312,7 +359,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (AMP analog)")
     p.add_argument("--resume", default=None)
+    p.add_argument("--pretrained-vgg", default=None,
+                   help=".npz from convert-vgg: ImageNet VGG16 backbone + "
+                        "perceptual-loss trunk (vgg_16_UIE.py:149,257)")
     p.set_defaults(fn=_cmd_train_vgg)
+
+    p = sub.add_parser("run", help="Phase 1 + Phase 2 in one command")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=_cmd_run)
+
+    p = sub.add_parser("convert-vgg",
+                       help="torch vgg16 checkpoint -> .npz weights")
+    p.add_argument("--torch-ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=_cmd_convert_vgg)
 
     p = sub.add_parser("predict", help="predict best strategy for an image")
     p.add_argument("--input", required=True)

@@ -40,12 +40,22 @@ CLAMPS = {  # use_trained_model.py:74-79
 
 class EnhancementPredictor:
     def __init__(self, checkpoint_path: Optional[str] = None,
-                 hidden_dim: int = 256, input_size: int = 224, seed: int = 0):
+                 hidden_dim: int = 256, input_size: int = 224, seed: int = 0,
+                 pretrained_vgg: Optional[str] = None):
         self.input_size = input_size
         self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
         img0 = jnp.zeros((1, input_size, input_size, 3))
         feats0 = jnp.zeros((1, 79))
         self.variables = self.model.init(jax.random.PRNGKey(seed), img0, feats0)
+        if pretrained_vgg is not None:
+            # ImageNet VGG16 trunk from an offline-converted .npz
+            # (vgg_16_UIE.py:149; heads stay whatever the checkpoint holds)
+            from underwater_image_enhancement_tpu.models.vgg import load_backbone_npz
+
+            self.variables = dict(self.variables)
+            self.variables["params"] = load_backbone_npz(
+                dict(self.variables["params"]), pretrained_vgg
+            )
         if checkpoint_path is not None:
             self.load(checkpoint_path)
         self._apply = jax.jit(
@@ -65,10 +75,16 @@ class EnhancementPredictor:
             restored = restore_checkpoint(checkpoint_path, like)
         except Exception:
             # trainer checkpoints carry optimizer state etc. — retry with it
+            import warnings
+
             from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
 
-            t = VGGTrainer(hidden_dim=self.model.hidden_dim,
-                           image_size=self.input_size)
+            with warnings.catch_warnings():
+                # the trainer's random-perceptual-trunk warning is irrelevant
+                # here: only params/batch_stats are taken from it
+                warnings.simplefilter("ignore")
+                t = VGGTrainer(hidden_dim=self.model.hidden_dim,
+                               image_size=self.input_size)
             t.load(checkpoint_path)
             restored = {"params": t.params, "batch_stats": t.batch_stats}
         self.variables = {"params": restored["params"],

@@ -100,19 +100,69 @@ class ImprovedVGGParameterNet(nn.Module):
         return params
 
 
+# torchvision vgg16 ``features`` module indices of the conv layers
+TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21)
+
+
 def load_torch_vgg_features(flax_params: dict, torch_state: dict,
-                            prefix: str = "vgg") -> dict:
+                            prefix: str = "vgg", depth: int = 10) -> dict:
     """Copy torchvision vgg16 ``features`` weights into VGGFeatures params.
 
     torch_state keys: '0.weight', '0.bias', '2.weight', ... (conv layer
-    indices in features[:23]); conv weight OIHW -> HWIO."""
-    conv_torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
-    # features[:23] has 10 convs up to conv4_3
+    indices in features[:23]); conv weight OIHW -> HWIO.  depth=10 fills the
+    conv4_3 backbone trunk, depth=7 the relu3_3 perceptual-loss trunk."""
     out = dict(flax_params)
     tree = out[prefix] if prefix in out else out
-    for i, ti in enumerate(conv_torch_idx):
+    for i, ti in enumerate(TORCH_CONV_IDX[:depth]):
         w = np.asarray(torch_state[f"{ti}.weight"])  # (O, I, H, W)
         b = np.asarray(torch_state[f"{ti}.bias"])
         tree[f"conv{i}"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
         tree[f"conv{i}"]["bias"] = jnp.asarray(b)
     return out
+
+
+def convert_torch_vgg_to_npz(torch_ckpt_path: str, npz_path: str) -> int:
+    """Offline conversion: a torch checkpoint holding torchvision vgg16
+    weights -> a plain .npz keyed like ``features``'s state_dict.
+
+    Accepts either a ``features``-only state_dict ('0.weight', ...) or a full
+    vgg16 state_dict ('features.0.weight', ...).  Returns the number of conv
+    layers exported.  This replaces the reference's on-line torchvision
+    download (vgg_16_UIE.py:149: ``vgg16(pretrained=True)``) with an
+    explicit, air-gapped artifact."""
+    import torch
+
+    state = torch.load(torch_ckpt_path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    flat = {}
+    for k, v in state.items():
+        k = k[len("features."):] if k.startswith("features.") else k
+        flat[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    keep = {}
+    for ti in TORCH_CONV_IDX:
+        keep[f"{ti}.weight"] = flat[f"{ti}.weight"]
+        keep[f"{ti}.bias"] = flat[f"{ti}.bias"]
+    np.savez(npz_path, **keep)
+    return len(TORCH_CONV_IDX)
+
+
+def load_perceptual_npz(npz_path: str) -> dict:
+    """Build VGGFeatures(depth=7) variables (the relu3_3 perceptual trunk,
+    vgg_16_UIE.py:257-269) from a converted vgg16 .npz."""
+    import jax
+
+    state = dict(np.load(npz_path))
+    model = VGGFeatures(depth=7)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    new = load_torch_vgg_features(dict(params["params"]), state,
+                                  prefix="", depth=7)
+    return {"params": new}
+
+
+def load_backbone_npz(flax_params: dict, npz_path: str) -> dict:
+    """Fill the ImprovedVGGParameterNet 'vgg' trunk (depth 10, conv4_3)
+    from a converted vgg16 .npz (vgg_16_UIE.py:149-154)."""
+    state = dict(np.load(npz_path))
+    return load_torch_vgg_features(dict(flax_params), state,
+                                   prefix="vgg", depth=10)

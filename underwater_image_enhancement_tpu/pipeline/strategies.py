@@ -120,7 +120,12 @@ def apply_strategy(img: jnp.ndarray, strategy_name: str,
 
 
 def _freeze(params: Dict[str, Any]):
-    return tuple(sorted(params.items()))
+    # hashable (jit-static) form; JSON/CLI configs hand in lists, the
+    # reference accepts any sequence (e.g. tile_grid_size=[8, 8])
+    return tuple(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in sorted(params.items())
+    )
 
 
 @partial(jax.jit, static_argnames=("strategy_name", "frozen"))

@@ -158,8 +158,6 @@ class MLPTrainer(_BaseTrainer):
         return total
 
     def _build_step(self, stretch_mode):
-        shardings = data_parallel_sharding(self.mesh)
-
         @partial(jax.jit, static_argnames=())
         def step(params, opt_state, imgs, refs, feats, rng):
             loss, grads = jax.value_and_grad(self._loss_fn)(
@@ -240,7 +238,8 @@ class VGGTrainer(_BaseTrainer):
                  weight_decay: float = 1e-5, epochs: int = 100,
                  image_size: int = 224, seed: int = 0, mesh=None,
                  compute_dtype: str = "float32",
-                 stretch_mode: str = "quantile"):
+                 stretch_mode: str = "quantile",
+                 vgg_loss_params=None, pretrained_vgg: str | None = None):
         super().__init__()
         self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
         rng = jax.random.PRNGKey(seed)
@@ -249,9 +248,35 @@ class VGGTrainer(_BaseTrainer):
         variables = self.model.init(rng, img0, feats0)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
-        self.vgg_loss_params = losses.init_perceptual_params(
-            jax.random.PRNGKey(seed + 1), (1, image_size, image_size, 3)
-        )
+        if pretrained_vgg is not None:
+            # ImageNet-pretrained VGG16 for both the backbone trunk
+            # (vgg_16_UIE.py:149-154) and the perceptual loss (:257-269),
+            # from an offline-converted .npz (models.vgg.convert_torch_vgg_to_npz)
+            from underwater_image_enhancement_tpu.models.vgg import (
+                load_backbone_npz,
+                load_perceptual_npz,
+            )
+
+            self.params = load_backbone_npz(self.params, pretrained_vgg)
+            if vgg_loss_params is None:
+                vgg_loss_params = load_perceptual_npz(pretrained_vgg)
+        if vgg_loss_params is None:
+            # The reference's PerceptualLoss runs ImageNet-pretrained VGG16
+            # (vgg_16_UIE.py:257-269); without weights the distance lives in
+            # a random feature space.  Pass vgg_loss_params (see
+            # models.vgg.load_perceptual_npz) for reference semantics.
+            import warnings
+
+            warnings.warn(
+                "VGGTrainer: perceptual loss uses a RANDOM-init VGG trunk; "
+                "pass vgg_loss_params=load_perceptual_npz(path) for the "
+                "reference's pretrained-VGG16 perceptual loss",
+                stacklevel=2,
+            )
+            vgg_loss_params = losses.init_perceptual_params(
+                jax.random.PRNGKey(seed + 1), (1, image_size, image_size, 3)
+            )
+        self.vgg_loss_params = vgg_loss_params
         self.schedule = cosine_warm_restarts(lr, 10, 2, epochs)
         self._epoch_count = 0
 
@@ -267,11 +292,25 @@ class VGGTrainer(_BaseTrainer):
 
             return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
+        def trainable_mask(params):
+            return jax.tree.map(lambda m: not m, freeze_mask(params))
+
+        # Reference semantics (vgg_16_UIE.py:492-534): frozen convs have
+        # requires_grad=False, so torch's clip_grad_norm_ sees only trainable
+        # grads and AdamW never touches them (no update, no weight decay).
+        # Hence: zero frozen grads FIRST, clip over the trainable-only norm,
+        # and run AdamW masked to the trainable leaves.  The learning rate is
+        # injected as optimizer-state so the per-epoch cosine-warm-restarts
+        # value can be set inside the jitted step (see _set_lr).
         self.tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
             optax.masked(optax.set_to_zero(), freeze_mask),
-            optax.adamw(lambda _: self.schedule(self._epoch_count),
-                        weight_decay=weight_decay),
+            optax.clip_by_global_norm(1.0),
+            optax.masked(
+                optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=lr, weight_decay=weight_decay
+                ),
+                trainable_mask,
+            ),
         )
         self.opt_state = self.tx.init(self.params)
         self.mesh = maybe_mesh(mesh)
@@ -301,9 +340,22 @@ class VGGTrainer(_BaseTrainer):
         total, comps = losses.combined_loss(self.vgg_loss_params, enhanced, refs)
         return total, (comps, new_stats)
 
+    def _set_lr(self, opt_state, lr):
+        """Write the injected AdamW learning rate into the chain's state.
+
+        Chain layout (see __init__): (masked-zero, clip, masked(inject(adamw)));
+        traced-lr writes here are the scheduler.step()-per-epoch analog of
+        vgg_16_UIE.py:499-501,749."""
+        masked_state = opt_state[2]
+        inj = masked_state.inner_state
+        inj = inj._replace(hyperparams={**inj.hyperparams, "learning_rate": lr})
+        return (opt_state[0], opt_state[1],
+                masked_state._replace(inner_state=inj))
+
     def _make_step(self):
         @jax.jit
-        def step(params, batch_stats, opt_state, imgs, feats, refs, rng):
+        def step(params, batch_stats, opt_state, imgs, feats, refs, rng, epoch):
+            opt_state = self._set_lr(opt_state, self.schedule(epoch))
             (loss, (comps, new_stats)), grads = jax.value_and_grad(
                 self._forward, has_aux=True
             )(params, batch_stats, imgs, feats, refs, rng, True)
@@ -322,19 +374,25 @@ class VGGTrainer(_BaseTrainer):
 
         return ev
 
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, data_parallel_sharding(self.mesh)(x))
+
     def run_epoch(self, batches: Iterable, train: bool) -> float:
         from underwater_image_enhancement_tpu.features.basic import extract_basic_batch
 
         total, n = 0.0, 0
+        epoch = jnp.asarray(self._epoch_count, jnp.int32)
         for imgs, refs in batches:
-            imgs = jnp.asarray(imgs)
-            refs = jnp.asarray(refs)
+            imgs = self._shard(jnp.asarray(imgs))
+            refs = self._shard(jnp.asarray(refs))
             feats = extract_basic_batch(imgs)
             if train:
                 self._rng, sub = jax.random.split(self._rng)
                 (self.params, self.batch_stats, self.opt_state, loss) = self._step(
                     self.params, self.batch_stats, self.opt_state,
-                    imgs, feats, refs, sub,
+                    imgs, feats, refs, sub, epoch,
                 )
             else:
                 loss = self._eval(self.params, self.batch_stats, imgs, feats, refs)
@@ -368,3 +426,5 @@ class VGGTrainer(_BaseTrainer):
         self.opt_state = restored["opt_state"]
         self.train_losses = list(np.asarray(restored["train_losses"]))
         self.val_losses = list(np.asarray(restored["val_losses"]))
+        # resume the per-epoch LR schedule where it left off (vgg:713-717)
+        self._epoch_count = len(self.train_losses)
