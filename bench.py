@@ -29,11 +29,14 @@ def main() -> None:
 
     dev = jax.devices()[0]
 
-    # on-device frame generation (uniform noise shaped to [0.05, 0.95])
+    # on-device frame generation: uniform noise shaped to [0.05, 0.95] and
+    # quantized to the u8 grid like any decoded image — on this grid the
+    # benched 'hist' stretch is BIT-EQUAL to the sorted-index parity path
+    # (tests/test_pipeline_api.py::test_enhance_hist_mode_bit_equal_on_u8_grid)
     @jax.jit
     def make_frames(key):
         u = jax.random.uniform(key, (N, H, W, 3), jnp.float32)
-        return u * 0.9 + 0.05
+        return jnp.floor((u * 0.9 + 0.05) * 255.0) / 255.0
 
     frames = make_frames(jax.random.PRNGKey(0))
     frames.block_until_ready()

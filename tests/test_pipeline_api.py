@@ -28,12 +28,42 @@ def test_enhance_matches_reference_semantics(underwater_img):
     assert np.abs(got - want).max() < 1e-4
 
 
-def test_enhance_hist_mode_close(underwater_img):
+def test_enhance_hist_mode_bit_equal_on_u8_grid(underwater_img):
+    """The benched 'hist' mode IS the parity-gated mode: on u8-grid inputs
+    (any decoded image — the conftest fixture is floor-quantized) the O(n)
+    histogram order statistic equals the sort path bit-for-bit."""
     p = {"omega": 0.6, "gamma": 1.2, "L_low": 10.0, "L_high": 90.0}
     exact = np.asarray(E.enhance(jnp.asarray(underwater_img), p, stretch_mode="index"))
     fast = np.asarray(E.enhance(jnp.asarray(underwater_img), p, stretch_mode="hist"))
+    np.testing.assert_array_equal(exact, fast)
+
+
+def test_enhance_hist_mode_close_off_grid(rng):
+    """Off the u8 grid the histogram percentile quantizes (<=1/255): still
+    >=50 dB against the sort path."""
+    img = rng.random((64, 80, 3)).astype(np.float32)  # NOT u8-quantized
+    p = {"omega": 0.6, "gamma": 1.2, "L_low": 10.0, "L_high": 90.0}
+    exact = np.asarray(E.enhance(jnp.asarray(img), p, stretch_mode="index"))
+    fast = np.asarray(E.enhance(jnp.asarray(img), p, stretch_mode="hist"))
     mse = ((exact - fast) ** 2).mean()
-    assert 10 * np.log10(1 / max(mse, 1e-30)) > 35
+    assert 10 * np.log10(1 / max(mse, 1e-30)) > 50
+
+
+def test_index_u8_percentiles_match_sorted_index(rgb_u8):
+    """Channel-level check across many (L_low, L_high) pairs: two-level
+    256-bin histogram == sorted[int(L/100*n)] exactly on u8-grid data."""
+    from underwater_image_enhancement_tpu.ops.stretch import _perc_pair_index_u8
+
+    chan = (rgb_u8[..., 1].astype(np.float32) / 255.0).astype(np.float32)
+    flat = np.sort(chan.reshape(-1))
+    n = flat.size
+    for lo, hi in [(0.0, 100.0), (10.0, 90.0), (2.0, 98.0), (37.5, 62.5),
+                   (50.0, 50.0), (99.0, 99.9)]:
+        p_lo, p_hi = _perc_pair_index_u8(jnp.asarray(chan), lo, hi)
+        want_lo = flat[min(max(int(lo / 100.0 * n), 0), n - 1)]
+        want_hi = flat[min(max(int(hi / 100.0 * n), 0), n - 1)]
+        assert float(p_lo) == want_lo, (lo, float(p_lo), want_lo)
+        assert float(p_hi) == want_hi, (hi, float(p_hi), want_hi)
 
 
 def test_six_strategy_single(underwater_img):

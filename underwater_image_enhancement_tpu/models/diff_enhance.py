@@ -36,6 +36,16 @@ def _stretch_channel_index(channel: jnp.ndarray, l_low, l_high) -> jnp.ndarray:
     return jnp.clip((channel - p_low) / (p_high - p_low + 1e-8), 0.0, 1.0)
 
 
+def _stretch_channel_index_u8(channel: jnp.ndarray, l_low, l_high) -> jnp.ndarray:
+    """Same sorted-index spec, O(n): exact 256-bin histogram order statistic
+    (bit-equal to _stretch_channel_index for u8-grid inputs — any decoded
+    image).  The production enhance() throughput path."""
+    from underwater_image_enhancement_tpu.ops.stretch import _perc_pair_index_u8
+
+    p_low, p_high = _perc_pair_index_u8(channel, l_low, l_high)
+    return jnp.clip((channel - p_low) / (p_high - p_low + 1e-8), 0.0, 1.0)
+
+
 def _stretch_channel_quantile(channel: jnp.ndarray, l_low, l_high) -> jnp.ndarray:
     """Differentiable variant: numpy-interpolated quantiles (grads flow to
     the image AND to l_low/l_high)."""
@@ -45,10 +55,17 @@ def _stretch_channel_quantile(channel: jnp.ndarray, l_low, l_high) -> jnp.ndarra
     return jnp.clip((channel - p_low) / (p_high - p_low + 1e-8), 0.0, 1.0)
 
 
+_STRETCH_FNS = {
+    "index": _stretch_channel_index,
+    "index-u8": _stretch_channel_index_u8,
+    "quantile": _stretch_channel_quantile,
+}
+
+
 def color_stretch_batch(img: jnp.ndarray, l_low: jnp.ndarray, l_high: jnp.ndarray,
                         mode: str = "index") -> jnp.ndarray:
     """(B, H, W, C), per-sample scalar L_low/L_high of shape (B,) or (B, 1)."""
-    fn = _stretch_channel_index if mode == "index" else _stretch_channel_quantile
+    fn = _STRETCH_FNS[mode]
 
     def per_image(im, lo, hi):
         chans = [fn(im[..., c], lo, hi) for c in range(im.shape[-1])]

@@ -24,6 +24,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# the 256 float32 values a decoded u8 image can take (k/255, f32 division)
+_U8_GRID = np.arange(256, dtype=np.float32) / np.float32(255.0)
 
 
 def _perc_pair_sort(channel: jnp.ndarray, l_low, l_high):
@@ -87,14 +91,77 @@ def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32,
             fine(h2_hi, below_hi, b_hi, t_hi))
 
 
+def _perc_pair_index_u8(channel: jnp.ndarray, l_low, l_high):
+    """EXACT sorted-index percentiles (vgg_16_UIE.py:57-92:
+    ``p = sorted[int(L/100*n)]``) in O(n) via a two-level integer histogram.
+
+    Decoded images live on the u8 grid (values k/255 float32), so the order
+    statistic is recoverable from an exact 256-bin histogram: sorted[i] is
+    the first grid value whose cumulative count exceeds i.  Two 16-wide
+    compare-reduce passes (hi nibble, then lo nibble masked to the selected
+    bucket, shared between both percentiles) keep it VPU-friendly — no sort,
+    no gather.  Bit-equal to the sort path for u8-grid inputs; for off-grid
+    inputs the percentile quantizes to the nearest grid value (<=1/255 off).
+    """
+    n = channel.size
+    # q in f32: integers < 2^24 compare exactly, and f32 keeps the VPU on its
+    # native lanes (int one-hots measured ~2x slower here)
+    q = jnp.clip(jnp.round(channel * 255.0), 0.0, 255.0)
+
+    def order_index(pct):
+        # int() truncation + clamp, exactly the reference formula
+        return jnp.clip((pct / 100.0 * n).astype(jnp.int32), 0, n - 1
+                        ).astype(jnp.float32)
+
+    i_lo = order_index(jnp.asarray(l_low, jnp.float32))
+    i_hi = order_index(jnp.asarray(l_high, jnp.float32))
+
+    # Radix-select over the GLOBAL CDF c(v) = #(q <= v): the order statistic
+    # sorted[i] is the first v with c(v) > i, so each level only narrows the
+    # value range — no bucket masking, no one-hot, no count bookkeeping.
+    # Levels 16/4/4: pass 1 probes the 15 interior coarse edges (shared by
+    # both percentiles), passes 2-3 probe 3 dynamic-scalar edges per
+    # percentile each.  27 compare+reduce ops/px total; same-shape reductions
+    # over the same input fuse into one memory pass per level.
+    def cdf(t):
+        return jnp.sum((q <= t).astype(jnp.float32))
+
+    c1 = [cdf(float(16 * k + 15)) for k in range(15)]
+
+    def narrow(base, width, i):
+        """v* known in [base, base+4*width): probe 3 edges, return new base."""
+        cs = [cdf(base + float(width * j + width - 1)) for j in range(3)]
+        sub = sum((c <= i).astype(jnp.float32) for c in cs)
+        return base + float(width) * sub
+
+    def select(i):
+        b = sum((c <= i).astype(jnp.float32) for c in c1)  # coarse bucket
+        base = 16.0 * b
+        base = narrow(base, 4, i)
+        return narrow(base, 1, i)
+
+    v_lo = select(i_lo)
+    v_hi = select(i_hi)
+
+    # Host-precomputed k/255 table: XLA rewrites x/255.0 as x*(1/255), which
+    # is 1 ulp off true division for some k — numpy float32 division here is
+    # bit-identical to decoded pixel values (k.astype(f32)/255.0).
+    grid = jnp.asarray(_U8_GRID)
+    return (grid[v_lo.astype(jnp.int32)], grid[v_hi.astype(jnp.int32)])
+
+
 def stretch_channel(channel: jnp.ndarray, l_low, l_high, eps: float = 1e-10,
                     method: str = "sort") -> jnp.ndarray:
     """(channel - p_low) / (p_high - p_low + eps), clipped to [0,1].
 
-    method: 'sort' (exact, the parity oracle), 'hist' (two-level histogram),
-    'hist-fast' (histogram on a stride-2 subsample — the throughput path)."""
+    method: 'sort' (exact np.percentile interpolation, the parity oracle),
+    'index-u8' (EXACT sorted-index percentile for u8-grid inputs, O(n) —
+    the production enhance() path), 'hist' (two-level histogram),
+    'hist-fast' (histogram on a stride-8 row subsample)."""
     if method == "sort":
         p_low, p_high = _perc_pair_sort(channel, l_low, l_high)
+    elif method == "index-u8":
+        p_low, p_high = _perc_pair_index_u8(channel, l_low, l_high)
     elif method == "hist-fast":
         p_low, p_high = _perc_pair_hist(channel, l_low, l_high, subsample=8)
     else:

@@ -50,9 +50,10 @@ def enhance_batch(imgs: jnp.ndarray, l_low, l_high, omega, gamma,
     """(B, H, W, 3) [0,1] -> enhanced, vgg_16_UIE.py:32-55 semantics.
 
     stretch_mode: 'index' reproduces the reference's sorted-index
-    percentiles exactly; 'hist' uses the O(n) histogram-CDF percentiles
-    (the production fast path — quantizes percentiles to 1/4096 of the
-    channel range, visually identical)."""
+    percentiles via a per-channel sort; 'hist' computes the SAME sorted-index
+    percentile through an exact O(n) 256-bin histogram — bit-equal to 'index'
+    whenever the input lies on the u8 grid (any decoded image; see
+    tests/test_pipeline_api.py), and the production throughput path."""
     B = imgs.shape[0]
     params = {
         "L_low": jnp.broadcast_to(jnp.asarray(l_low, jnp.float32), (B,)),
@@ -60,24 +61,8 @@ def enhance_batch(imgs: jnp.ndarray, l_low, l_high, omega, gamma,
         "omega": jnp.broadcast_to(jnp.asarray(omega, jnp.float32), (B,)),
         "gamma": jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), (B,)),
     }
-    if stretch_mode == "hist":
-        out = _stretch_hist_batch(imgs, params["L_low"], params["L_high"])
-        out = diff_enhance.dehaze_batch(out, params["omega"])
-        g = params["gamma"].reshape(-1, 1, 1, 1)
-        out = jnp.power(out + 1e-8, g)
-        return jnp.clip(out, 0.0, 1.0)
-    return diff_enhance.enhance_vgg(imgs, params, stretch_mode=stretch_mode)
-
-
-def _stretch_hist_batch(imgs, l_low, l_high):
-    from underwater_image_enhancement_tpu.ops.stretch import stretch_channel
-
-    def one(im, lo, hi):
-        chans = [stretch_channel(im[..., c], lo, hi, 1e-8, "hist-fast")
-                 for c in range(im.shape[-1])]
-        return jnp.stack(chans, axis=-1)
-
-    return jax.vmap(one)(imgs, l_low, l_high)
+    mode = "index-u8" if stretch_mode == "hist" else stretch_mode
+    return diff_enhance.enhance_vgg(imgs, params, stretch_mode=mode)
 
 
 def enhance(img: jnp.ndarray, params: Optional[Dict[str, float]] = None,
