@@ -186,6 +186,43 @@ def test_selector_system_end_to_end(tmp_path):
     assert (tmp_path / "out" / "reports" / "confusion_matrix.png").exists()
 
 
+def test_build_dataset_batches_per_shape_group(tmp_path, monkeypatch):
+    """Phase-1 labeling is batched: 6 same-shape images at batch_size=3 run
+    exactly 2 fused device dispatches (vs 1 feature pass + 5 strategy + 5
+    metric dispatches PER IMAGE in the round-1 per-image loop), and the rows
+    agree with the per-image label_image path."""
+    import underwater_image_enhancement_tpu.select.system as S
+    from underwater_image_enhancement_tpu.utils import io as uio
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    raw = tmp_path / "raw"
+    rng = np.random.default_rng(5)
+    for i in range(6):
+        img = np.clip(rng.random((40, 48, 3)) * (0.25 + 0.1 * i), 0, 1)
+        uio.imwrite_unit(str(raw / f"i{i}.png"), img.astype(np.float32))
+
+    calls = []
+    real = S._label_batch
+
+    def counting(imgs, weights):
+        calls.append(int(imgs.shape[0]))
+        return real(imgs, weights)
+
+    monkeypatch.setattr(S, "_label_batch", counting)
+    cfg = Config(image_folder=str(raw), output_folder=str(tmp_path / "out"))
+    sys_ = S.SelfSupervisedSystem(cfg)
+    rows = sys_.build_dataset(log=lambda *_: None, batch_size=3)
+    assert len(rows) == 6
+    assert calls == [3, 3]
+    # filename order preserved (reference iterates the folder order)
+    assert [r["filename"] for r in rows] == [f"i{i}.png" for i in range(6)]
+    # batched result == per-image result
+    img0 = uio.imread_unit(str(raw / "i0.png"))
+    _, item0 = sys_.label_image(img0)
+    assert item0.best_strategy == rows[0]["best_strategy"]
+    assert abs(item0.best_score - rows[0]["best_score"]) < 1e-5
+
+
 def test_flax_mlp_classifier(rng):
     from underwater_image_enhancement_tpu.select.mlp_classifier import (
         FlaxMLPClassifier,

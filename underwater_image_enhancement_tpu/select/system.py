@@ -28,14 +28,35 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+from functools import partial
+
 from underwater_image_enhancement_tpu.features.full import extract_all_features
-from underwater_image_enhancement_tpu.metrics.quality import comprehensive_assessment
 from underwater_image_enhancement_tpu.pipeline.strategies import (
     STRATEGY_DISPLAY,
     STRATEGY_FNS,
 )
 from underwater_image_enhancement_tpu.utils import io as uio
 from underwater_image_enhancement_tpu.utils.config import Config
+
+_LABEL_ORDER = tuple(STRATEGY_FNS)
+
+
+@partial(jax.jit, static_argnames=("weights",))
+def _label_batch(imgs: jnp.ndarray, weights: tuple):
+    """Phase-1 inner loop as ONE compiled program for a same-shape batch:
+    79-dim features + all 5 strategies + weighted quality scores + argmax
+    (main.py:116-146).  weights: hashable ((name, w), ...) tuple."""
+    from underwater_image_enhancement_tpu.features.full import extract_batch
+    from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
+
+    stacks = jnp.stack([STRATEGY_FNS[k](imgs) for k in _LABEL_ORDER], axis=1)
+    B, S = stacks.shape[0], stacks.shape[1]
+    flat = stacks.reshape((B * S,) + stacks.shape[2:])
+    scores = comprehensive_batch(flat, dict(weights)).reshape(B, S)
+    feats = extract_batch(imgs)
+    best = jnp.argmax(scores, axis=1)
+    return feats, scores, best, stacks
 
 
 @dataclass
@@ -60,32 +81,39 @@ class SelfSupervisedSystem:
 
     # ---------------- Phase 1 ----------------
 
+    def _label_batch_np(self, imgs: np.ndarray):
+        """Run the fused Phase-1 program on a same-shape (B, H, W, 3) batch.
+
+        Returns numpy (feats (B,79), scores (B,5), best (B,), stacks
+        (B,5,H,W,3)).  ONE device dispatch for features + all 5 strategies +
+        weighted scoring (the hot loop of main.py:63-196; the reference pays
+        1 + 5x2 full-image passes per image on the host)."""
+        frozen = tuple(sorted(self.config.quality_weights.items()))
+        feats, scores, best, stacks = _label_batch(jnp.asarray(imgs), frozen)
+        return (np.asarray(feats), np.asarray(scores),
+                np.asarray(best), np.asarray(stacks))
+
     def label_image(self, img: np.ndarray) -> Tuple[np.ndarray, DatasetItem]:
         """Run all strategies + scoring for one image (main.py:116-164)."""
-        feats = np.asarray(extract_all_features(jnp.asarray(img)))
-        scores: Dict[str, float] = {}
-        enhanced: Dict[str, np.ndarray] = {}
-        for key, fn in STRATEGY_FNS.items():
-            name = STRATEGY_DISPLAY[key]
-            out = np.asarray(fn(jnp.asarray(img)))
-            total, _ = comprehensive_assessment(
-                jnp.asarray(out), self.config.quality_weights
-            )
-            scores[name] = float(total)
-            enhanced[name] = out
-        best = max(scores, key=scores.get)
+        feats, scores, best, stacks = self._label_batch_np(
+            np.asarray(img)[None])
+        names = [STRATEGY_DISPLAY[k] for k in _LABEL_ORDER]
+        all_scores = {nm: float(s) for nm, s in zip(names, scores[0])}
+        k = int(best[0])
         item = DatasetItem(
-            filename="", features=feats, best_strategy=best,
-            best_score=scores[best], all_scores=scores,
+            filename="", features=feats[0], best_strategy=names[k],
+            best_score=float(scores[0, k]), all_scores=all_scores,
         )
-        return enhanced[best], item
+        return stacks[0, k], item
 
-    def build_dataset(self, log=print) -> List[Dict]:
+    def build_dataset(self, log=print, batch_size: int = 8) -> List[Dict]:
         """Phase 1 over config.image_folder; returns CSV rows
-        (main.py:63-196)."""
+        (main.py:63-196).  Images are grouped by shape and processed in
+        vmapped batches — one compiled program per distinct shape."""
         self.config.create_folders()
         files = uio.collect_images(self.config.image_folder)
-        csv_rows: List[Dict] = []
+        names = [STRATEGY_DISPLAY[k] for k in _LABEL_ORDER]
+        loaded: List[Tuple[Path, np.ndarray]] = []
         for path in files:
             img = uio.imread_unit(str(path))
             if img is None:
@@ -94,29 +122,55 @@ class SelfSupervisedSystem:
             if img.shape[0] < 10 or img.shape[1] < 10:
                 log(f"warning: {path.name} too small, skipping")
                 continue
-            best_img, item = self.label_image(img)
-            item.filename = path.name
-            self.dataset.append(item)
-            out_path = Path(self.config.strategy_folder) / (
-                f"{path.stem}_{item.best_strategy}.png"
-            )
-            uio.imwrite_unit(str(out_path), best_img)
-            if self.config.save_all_enhanced:  # config.py:123
-                import jax.numpy as jnp
+            loaded.append((path, img))
+        groups: Dict[tuple, List[Tuple[Path, np.ndarray]]] = {}
+        for path, img in loaded:
+            groups.setdefault(img.shape, []).append((path, img))
 
-                for key, fn in STRATEGY_FNS.items():
-                    name = STRATEGY_DISPLAY[key]
-                    if name == item.best_strategy:
-                        continue
+        rows_by_path: Dict[Path, Dict] = {}
+        items_by_path: Dict[Path, DatasetItem] = {}
+        for shape, entries in groups.items():
+            bs = min(len(entries), max(1, batch_size))
+            for i in range(0, len(entries), bs):
+                chunk = entries[i:i + bs]
+                batch = np.stack([im for _, im in chunk])
+                feats, scores, best, stacks = self._label_batch_np(batch)
+                for j, (path, _) in enumerate(chunk):
+                    k = int(best[j])
+                    item = DatasetItem(
+                        filename=path.name, features=feats[j],
+                        best_strategy=names[k],
+                        best_score=float(scores[j, k]),
+                        all_scores={nm: float(s)
+                                    for nm, s in zip(names, scores[j])},
+                    )
+                    items_by_path[path] = item
                     uio.imwrite_unit(
                         str(Path(self.config.strategy_folder)
-                            / f"{path.stem}_{name}.png"),
-                        np.asarray(fn(jnp.asarray(img))),
+                            / f"{path.stem}_{item.best_strategy}.png"),
+                        stacks[j, k],
                     )
-            row = {"filename": path.name, "best_strategy": item.best_strategy,
-                   "best_score": item.best_score}
-            row.update(item.all_scores)
-            csv_rows.append(row)
+                    if self.config.save_all_enhanced:  # config.py:123
+                        for m, nm in enumerate(names):
+                            if m == k:
+                                continue
+                            uio.imwrite_unit(
+                                str(Path(self.config.strategy_folder)
+                                    / f"{path.stem}_{nm}.png"),
+                                stacks[j, m],
+                            )
+                    row = {"filename": path.name,
+                           "best_strategy": item.best_strategy,
+                           "best_score": item.best_score}
+                    row.update(item.all_scores)
+                    rows_by_path[path] = row
+
+        # emit rows/dataset in the original folder order (reference order)
+        csv_rows: List[Dict] = []
+        for path, _ in loaded:
+            if path in rows_by_path:
+                csv_rows.append(rows_by_path[path])
+                self.dataset.append(items_by_path[path])
         if csv_rows:
             self._write_csv(csv_rows)
             self._save_dataset()
