@@ -46,6 +46,25 @@ def test_airlight_agreement_with_reference_perblock(rng):
     assert matches >= n_trials - 2, f"only {matches}/{n_trials} agree"
 
 
+def test_airlight_exact_perblock_12_of_12(rng):
+    """quadtree_airlight_exact recomputes Canny per child crop exactly like
+    the reference (enhancement_strategies.py:180-183): the golden per-block
+    descent must agree on ALL 12 test images (the global-edge-map canonical
+    mode agrees on only ~10/12)."""
+    for i in range(12):
+        img = _mk_img(np.random.default_rng(100 + i))
+        got = np.asarray(airlight.quadtree_airlight_exact(img))
+        want = golden.quadtree_airlight(img.astype(np.float64))
+        assert np.abs(got - want).max() < 1e-6, f"trial {i}"
+
+
+def test_airlight_exact_odd_sizes():
+    img = _mk_img(np.random.default_rng(56), h=101, w=147)
+    got = np.asarray(airlight.quadtree_airlight_exact(img))
+    want = golden.quadtree_airlight(img.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-6
+
+
 def test_airlight_batch_consistent(rng):
     imgs = np.stack([_mk_img(np.random.default_rng(7)), _mk_img(np.random.default_rng(8))])
     batch = np.asarray(airlight.quadtree_airlight_batch(imgs))

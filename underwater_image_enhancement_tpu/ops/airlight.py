@@ -104,3 +104,103 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
 def quadtree_airlight_batch(imgs: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, 3)."""
     return jax.vmap(lambda im: quadtree_airlight(im, min_size))(imgs)
+
+
+def _level_plan(H: int, W: int, min_size: int):
+    """Host-computed per-level max child sizes.  Repeated floor/ceil halving
+    keeps each level's possible sizes within {a, a+1}, so a fixed buffer of
+    the level maximum holds any child reachable at that depth."""
+    h_set, w_set = {H}, {W}
+    plan = []
+    while max(h_set) > min_size and max(w_set) > min_size:
+        h_set = {s for h in h_set for s in (h // 2, h - h // 2)}
+        w_set = {s for w in w_set for s in (w // 2, w - w // 2)}
+        plan.append((max(h_set), max(w_set)))
+    return plan
+
+
+@partial(jax.jit, static_argnames=("min_size",))
+def quadtree_airlight_exact(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
+    """EXACT reference descent: cv2-style Canny recomputed on every child
+    block crop (enhancement_strategies.py:75-188, compute_Q runs cv2.Canny
+    per block at :180-183) — unlike ``quadtree_airlight``'s global edge map.
+
+    TPU formulation: brightness/cast/variance terms still come from O(1)
+    SAT lookups; the per-block edge term is computed per level on a FIXED
+    max-size buffer (host-computed level plan) holding the child crop with
+    its last valid row/col replicated outward, so Canny's replicate-border
+    Sobel + magnitude masking reproduce the crop-local result exactly with
+    static shapes (see canny_u8's valid_hw).  Levels where the descent has
+    already stopped are skipped via lax.cond."""
+    H, W = img.shape[0], img.shape[1]
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    gray = rgb_to_gray_u8(quantize_u8(img)).astype(jnp.int32)
+    plan = _level_plan(H, W, min_size)
+    pad_h = plan[0][0] if plan else 1
+    pad_w = plan[0][1] if plan else 1
+    gray_pad = jnp.pad(gray, ((0, pad_h), (0, pad_w)))
+    planes = jnp.stack([r, g, b, r * r, g * g, b * b], axis=0)
+    sats = _sat(planes)  # (6, H+1, W+1)
+
+    def edge_count(rr, cc, hh, ww, bh, bw):
+        """cv2.Canny edge count of the (hh, ww) crop at (rr, cc), computed
+        on a static (bh, bw) buffer."""
+        buf = jax.lax.dynamic_slice(gray_pad, (rr, cc), (bh, bw))
+        row_rep = jax.lax.dynamic_slice(buf, (jnp.maximum(hh - 1, 0), 0),
+                                        (1, bw))
+        rows = jnp.arange(bh, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(bw, dtype=jnp.int32)[None, :]
+        buf = jnp.where(rows < hh, buf, row_rep)
+        col_rep = jax.lax.dynamic_slice(buf, (0, jnp.maximum(ww - 1, 0)),
+                                        (bh, 1))
+        buf = jnp.where(cols < ww, buf, col_rep)
+        edges = canny_u8(buf, 50, 150, valid_hw=(hh, ww))
+        return jnp.sum(edges).astype(jnp.float32)
+
+    def level_step(state, bh, bw):
+        r0, c0, h, w = state
+        mh, mw = h // 2, w // 2
+        rows = jnp.stack([r0, r0 + mh, r0 + h])
+        cols = jnp.stack([c0, c0 + mw, c0 + w])
+        grid = sats[:, rows[None, :, None], cols[None, None, :]][:, 0]
+
+        def box(ri, ci, rj, cj):
+            return (grid[:, rj, cj] - grid[:, ri, cj]
+                    - grid[:, rj, ci] + grid[:, ri, ci])  # (6,)
+
+        sums = jnp.stack([box(0, 0, 1, 1), box(0, 1, 1, 2),
+                          box(1, 0, 2, 1), box(1, 1, 2, 2)])  # (4, 6)
+        cand = jnp.stack([
+            jnp.stack([r0, c0, mh, mw]),
+            jnp.stack([r0, c0 + mw, mh, w - mw]),
+            jnp.stack([r0 + mh, c0, h - mh, mw]),
+            jnp.stack([r0 + mh, c0 + mw, h - mh, w - mw]),
+        ])  # (4, 4) child boxes
+        ns = (cand[:, 2] * cand[:, 3]).astype(jnp.float32)
+        ec = jnp.stack([edge_count(cand[k, 0], cand[k, 1],
+                                   cand[k, 2], cand[k, 3], bh, bw)
+                        for k in range(4)])
+        sr, sg, sb = sums[:, 0], sums[:, 1], sums[:, 2]
+        s2r, s2g, s2b = sums[:, 3], sums[:, 4], sums[:, 5]
+        t1 = (sr + sg + sb) / (3.0 * ns)
+        t2 = (sb + sg - 2.0 * sr) / ns
+        var = lambda s1, s2: s2 / ns - (s1 / ns) ** 2
+        t3 = (var(sr, s2r) + var(sg, s2g) + var(sb, s2b)) / 3.0
+        qs = t1 + t2 - t3 - ec / ns
+        sel = cand[jnp.argmax(qs)]
+        return sel[0], sel[1], sel[2], sel[3]
+
+    state = (jnp.int32(0), jnp.int32(0), jnp.int32(H), jnp.int32(W))
+    for bh, bw in plan:
+        active = (state[2] > min_size) & (state[3] > min_size)
+        state = jax.lax.cond(
+            active, lambda s: level_step(s, bh, bw), lambda s: s, state
+        )
+    r0, c0, h, w = state
+
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    inside = (rows >= r0) & (rows < r0 + h) & (cols >= c0) & (cols < c0 + w)
+    score = jnp.where(inside, r + g + b, -jnp.inf)
+    flat_idx = jnp.argmax(score)
+    return img.reshape(-1, 3)[flat_idx]

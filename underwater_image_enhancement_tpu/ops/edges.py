@@ -97,7 +97,8 @@ _TG22 = 13573  # tan(22.5 deg) in Q15, as in OpenCV canny.cpp
 
 @partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters", "use_pallas"))
 def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
-             hysteresis_iters: int = 64, use_pallas: bool = False) -> jnp.ndarray:
+             hysteresis_iters: int = 64, use_pallas: bool = False,
+             valid_hw=None) -> jnp.ndarray:
     """cv2.Canny(gray, low, high) on a uint8-valued int32 plane -> {0,1} mask.
 
     L1 gradient (|dx|+|dy|), 3x3 Sobel with REPLICATE border, OpenCV's
@@ -106,11 +107,23 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
     in the VMEM-banded Pallas kernel (ops/pallas_kernels.py) — bit-identical
     output; measured at parity with the XLA loop on v5e (XLA schedules the
     dilate chain well), kept as the iteration-in-VMEM reference kernel.
+
+    valid_hw=(h, w) (traced scalars) restricts the plane to its top-left
+    (h, w) region: with rows h-1/cols w-1 REPLICATED beyond the region (see
+    ops/airlight.py), zeroing the gradient magnitude outside makes the result
+    inside [0:h, 0:w] EXACTLY cv2.Canny of the (h, w) crop — Sobel sees the
+    replicate border, NMS border neighbors read magnitude 0 (OpenCV zeroes
+    its border map rows), and hysteresis cannot enter the dead zone.
     """
     g = gray_u8.astype(jnp.int32)
     dx = conv3x3(g, _SOBEL_X, "edge")
     dy = conv3x3(g, _SOBEL_Y, "edge")
     m = jnp.abs(dx) + jnp.abs(dy)
+    if valid_hw is not None:
+        h, w = valid_hw
+        rows = jnp.arange(m.shape[-2], dtype=jnp.int32)[:, None]
+        cols = jnp.arange(m.shape[-1], dtype=jnp.int32)[None, :]
+        m = jnp.where((rows < h) & (cols < w), m, 0)
 
     # sector classification, OpenCV integer arithmetic
     ax = jnp.abs(dx)

@@ -13,7 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
-from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight
+from underwater_image_enhancement_tpu.ops.airlight import (
+    quadtree_airlight,
+    quadtree_airlight_exact,
+)
 
 
 def _per_image(fn, img):
@@ -22,8 +25,12 @@ def _per_image(fn, img):
     return jax.vmap(fn)(img)
 
 
-def _restore(img, omega, radius, eps):
-    A = quadtree_airlight(img)
+def _restore(img, omega, radius, eps, method):
+    # parity ('sort') variants rerun Canny per quadtree block exactly like
+    # the reference (six_stadigy.py:115-157); the throughput variants use
+    # the canonical global-edge-map descent
+    airlight_fn = quadtree_airlight if method == "hist-fast" else quadtree_airlight_exact
+    A = airlight_fn(img)
     t = dehaze.estimate_transmission_six(img, A, omega, radius, eps)
     return dehaze.recover_image(img, t, A)
 
@@ -32,7 +39,7 @@ def _strategy1_strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:230-239: omega .3 r20 eps .5 -> stretch 5-98 ->
     CLAHE 3.0 -> gamma**1.5."""
     def one(im):
-        rec = _restore(im, 0.3, 20, 5e-1)
+        rec = _restore(im, 0.3, 20, 5e-1, method)
         e = stretch.enhance_contrast(rec, 5.0, 98.0, method=method)
         e = histeq.clahe_enhancement(e, 3.0)
         return stretch.gamma_correction_pow(e, 1.5)
@@ -43,7 +50,7 @@ def _strategy1_strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
 def _strategy2_medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:241-249: omega .5 r15 eps .5 -> stretch 15-95 -> CLAHE 2.0."""
     def one(im):
-        rec = _restore(im, 0.5, 15, 5e-1)
+        rec = _restore(im, 0.5, 15, 5e-1, method)
         e = stretch.enhance_contrast(rec, 15.0, 95.0, method=method)
         return histeq.clahe_enhancement(e, 2.0)
 
@@ -53,7 +60,7 @@ def _strategy2_medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
 def _strategy3_light_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:251-259: omega .7 r10 eps .1 -> stretch 20-85 -> WB p2."""
     def one(im):
-        rec = _restore(im, 0.7, 10, 1e-1)
+        rec = _restore(im, 0.7, 10, 1e-1, method)
         e = stretch.enhance_contrast(rec, 20.0, 85.0, method=method)
         return stretch.white_balance(e, 2.0, method=method)
 

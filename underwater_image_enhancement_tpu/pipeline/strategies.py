@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
-from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight
+from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight_exact
 from underwater_image_enhancement_tpu.utils.config import DEFAULT_STRATEGIES
 
 
@@ -32,8 +32,12 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
                          apply_gamma, gamma):
     """The shared skeleton of strong/medium/light strategies
     (enhancement_strategies.py:349-444): quadtree A -> transmission ->
-    recover -> percentile stretch -> optional gamma img**(1/g)."""
-    A = quadtree_airlight(img)
+    recover -> percentile stretch -> optional gamma img**(1/g).
+
+    The airlight descent reruns Canny per block crop exactly like the
+    reference's compute_Q (enhancement_strategies.py:180-183) — these
+    strategies label the Phase-1 dataset, so their argmax must match."""
+    A = quadtree_airlight_exact(img)
     t = dehaze.estimate_transmission(img, A, omega, guided_radius, 0.001)
     rec = dehaze.recover_image(img, t, A)
     out = stretch.color_enhancement(rec, l_low, l_high)

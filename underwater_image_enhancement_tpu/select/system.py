@@ -266,7 +266,11 @@ class SelfSupervisedSystem:
                                       "cv_std": float("nan")}
                 continue
             acc = accuracy_score(y_te, clf.predict(X_tes))
-            cv_folds = min(self.config.cv_folds, min(counts.values()), len(X_tr))
+            # folds bounded by the TRAIN split's smallest class (the CV runs
+            # on y_tr; a class can be rarer there than in the full set)
+            tr_counts = {c: int((y_tr == c).sum()) for c in set(y_tr)}
+            cv_folds = min(self.config.cv_folds, min(tr_counts.values()),
+                           len(X_tr))
             if cv_folds >= 2 and len(set(y_tr)) >= 2 and name != "mlp":
                 cv = cross_val_score(clf, X_trs, y_tr, cv=cv_folds)
                 cv_mean, cv_std = float(cv.mean()), float(cv.std())

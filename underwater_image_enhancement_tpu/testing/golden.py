@@ -200,7 +200,7 @@ def strategy_config(img: np.ndarray, name: str) -> np.ndarray:
             "medium_dehazing": (0.6, 20, 15, 92, True),
             "light_enhancement": (0.4, 10, 15, 95, False),
         }[name]
-        A = quadtree_airlight_sat(img)
+        A = quadtree_airlight(img)  # per-block Canny, the true reference descent
         t = transmission(img, A, omega, r, 0.001)
         out = stretch(recover(img, t, A), lo, hi)
         if ag:
@@ -218,7 +218,7 @@ def strategy_six(img: np.ndarray, name: str) -> np.ndarray:
     img = img.astype(np.float64)
 
     def restore_(im, omega, r, eps):
-        A = quadtree_airlight_sat(im)
+        A = quadtree_airlight(im)  # per-block Canny, the true reference descent
         t = transmission_six(im, A, omega, r, eps)
         return recover(im, t, A)
 
