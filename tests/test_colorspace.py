@@ -104,3 +104,38 @@ def test_lab_exact_bit_exact_roundtrip(rgb_u8, underwater_img):
         inv = np.asarray(cs.lab_to_rgb_u8_exact(want_fwd))
         want_inv = cv2.cvtColor(want_fwd.astype(np.uint8), cv2.COLOR_LAB2RGB).astype(np.int32)
         np.testing.assert_array_equal(inv, want_inv)
+
+
+def test_surrogate_lookups_full_domain():
+    """The f32 surrogate + device-probed correction must reproduce every
+    static table entry on this backend, evaluated INSIDE a composed jit (the
+    correction set is probed from a standalone compile; this guards against
+    context-dependent fusion changing the f32 results)."""
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.ops import colorspace as cs
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    cases = [
+        (lt.GAMMA_TAB, cs._g_gamma_tab, "gamma"),
+        (lt.CBRT_TAB, cs._g_cbrt_tab, "cbrt"),
+        (lt.INV_GAMMA_TAB, cs._g_inv_gamma_tab, "inv_gamma"),
+        (lt.L2YF_TAB[:, 0], cs._g_l2y_tab, "l2y"),
+        (lt.L2YF_TAB[:, 1], cs._g_l2ify_tab, "l2ify"),
+        (cs._SDIV_TAB, cs._g_sdiv_tab, "sdiv"),
+        (cs._HDIV_TAB, cs._g_hdiv_tab, "hdiv"),
+    ]
+    for tab, g, name in cases:
+        tab = np.asarray(tab)
+        idx = jnp.arange(tab.shape[0], dtype=jnp.int32)
+
+        @jax.jit
+        def composed(i):
+            # surround with arithmetic so the lookup sits inside a fusion
+            i = (i * 3 + 1) // 3  # == i for i >= 0
+            return cs._corrected_lookup(i, tab, g, name) * 2 - 1
+
+        got = np.asarray(composed(idx))
+        np.testing.assert_array_equal(got, tab.astype(np.int64) * 2 - 1,
+                                      err_msg=name)

@@ -79,3 +79,25 @@ def test_cast_batched(underwater_img):
     corrected, codes = cast.detect_and_correct(batch)
     assert corrected.shape == batch.shape
     assert codes.shape == (2,)
+
+
+def test_six_fast_mode_close_to_exact(underwater_img):
+    """The throughput six variants (hist-fast percentiles, global-edge
+    quadtree, 16-round hysteresis, subsampled fast guided filter) must stay
+    visually equivalent to the parity variants: >= 25 dB per strategy (the
+    approximations can shift the airlight pick on synthetic noise; real
+    degradation would land far below this)."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline.six import (
+        SIX_STRATEGIES,
+        SIX_STRATEGIES_FAST,
+    )
+
+    img = jnp.asarray(underwater_img)
+    for name in SIX_STRATEGIES:
+        exact = np.asarray(SIX_STRATEGIES[name](img))
+        fast = np.asarray(SIX_STRATEGIES_FAST[name](img))
+        mse = ((exact - fast) ** 2).mean()
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-30))
+        assert psnr > 25, (name, psnr)

@@ -27,26 +27,54 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from underwater_image_enhancement_tpu.ops.colorspace import quantize_u8, rgb_to_gray_u8
+from underwater_image_enhancement_tpu.ops.colorspace import gray_u8_planes, quantize_u8
 from underwater_image_enhancement_tpu.ops.edges import canny_u8
 
 
-def _sat(x: jnp.ndarray) -> jnp.ndarray:
-    """Summed-area table with a leading zero row/col: (..., H, W) -> (..., H+1, W+1)."""
-    c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
-    c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
-    return c
+def _sat_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-prefix table with a leading zero row: (..., H, W) -> (..., H+1, W).
+
+    Only the ROW prefix is precomputed (sublane-axis scan, cheap).  The
+    expensive full-image lane-axis scan is avoided: each quadtree level only
+    queries 3 row indices, so the column prefix runs on a (P, 3, W) strip
+    extracted per level (_corner_grid) — ~30x cheaper than a 2-D SAT."""
+    c = jnp.cumsum(x, axis=-2)
+    return jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)])
+
+
+def _corner_grid(sat_rows: jnp.ndarray, rows: jnp.ndarray,
+                 cols: jnp.ndarray) -> jnp.ndarray:
+    """(P, H+1, W) row-prefix + 3 row/col indices -> (P, 3, 3) SAT corners:
+    grid[p, t, s] = sum of plane p over [0, rows[t]) x [0, cols[s])."""
+    strip = sat_rows[:, rows, :]                      # (P, 3, W) row gather
+    c = jnp.cumsum(strip, axis=-1)                    # tiny lane scan
+    c = jnp.pad(c, [(0, 0), (0, 0), (1, 0)])
+    return c[:, :, cols]
 
 
 @partial(jax.jit, static_argnames=("min_size",))
 def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     """Atmospheric light RGB (3,) for one (H, W, 3) image in [0,1]."""
-    H, W = img.shape[0], img.shape[1]
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    gray = rgb_to_gray_u8(quantize_u8(img))
-    edgemap = canny_u8(gray, 50, 150).astype(jnp.float32)
-    planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
-    sats = _sat(planes)  # (7, H+1, W+1)
+    return quadtree_airlight_planes(
+        tuple(img[..., c] for c in range(3)), min_size
+    )
+
+
+@partial(jax.jit, static_argnames=("min_size", "edge_iters"))
+def quadtree_airlight_planes(planes, min_size: int = 1,
+                             edge_iters: int = 64) -> jnp.ndarray:
+    """Channel-first core: (r, g, b) planes -> A (3,).
+
+    edge_iters bounds the Canny hysteresis propagation; 64 matches the
+    parity-tested global edge map, throughput callers may lower it (the
+    edge term only steers the descent)."""
+    r, g, b = planes
+    H, W = r.shape[0], r.shape[1]
+    gray = gray_u8_planes(*(quantize_u8(p) for p in planes))
+    edgemap = canny_u8(gray, 50, 150,
+                       hysteresis_iters=edge_iters).astype(jnp.float32)
+    stat_planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
+    sats = _sat_rows(stat_planes)  # (7, H+1, W)
 
     def cond(state):
         _, _, h, w = state
@@ -56,11 +84,12 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
         r0, c0, h, w = state
         mh, mw = h // 2, w // 2
         # The 4 children share a 3x3 grid of SAT corners; fetch all 9 points
-        # for all 7 planes in ONE gather (the per-corner dynamic_slice
-        # version serialized ~50 latency-bound HBM reads per level).
+        # for all 7 planes via one 3-row strip + tiny column prefix (the
+        # per-corner dynamic_slice version serialized ~50 latency-bound HBM
+        # reads per level).
         rows = jnp.stack([r0, r0 + mh, r0 + h])
         cols = jnp.stack([c0, c0 + mw, c0 + w])
-        grid = sats[:, rows[None, :, None], cols[None, None, :]][:, 0]  # (7,3,3)
+        grid = _corner_grid(sats, rows, cols)  # (7, 3, 3)
 
         def box(ri, ci, rj, cj):
             return (grid[:, rj, cj] - grid[:, ri, cj]
@@ -93,12 +122,18 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     )
 
     # brightest pixel (max R+G+B, first index on ties — np.argmax order)
+    return _brightest_pixel(planes, r0, c0, h, w)
+
+
+def _brightest_pixel(planes, r0, c0, h, w) -> jnp.ndarray:
+    r, g, b = planes
+    H, W = r.shape[0], r.shape[1]
     rows = jnp.arange(H, dtype=jnp.int32)[:, None]
     cols = jnp.arange(W, dtype=jnp.int32)[None, :]
     inside = (rows >= r0) & (rows < r0 + h) & (cols >= c0) & (cols < c0 + w)
     score = jnp.where(inside, r + g + b, -jnp.inf)
     flat_idx = jnp.argmax(score)
-    return img.reshape(-1, 3)[flat_idx]
+    return jnp.stack([p.reshape(-1)[flat_idx] for p in planes])
 
 
 def quadtree_airlight_batch(imgs: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
@@ -132,15 +167,23 @@ def quadtree_airlight_exact(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     Sobel + magnitude masking reproduce the crop-local result exactly with
     static shapes (see canny_u8's valid_hw).  Levels where the descent has
     already stopped are skipped via lax.cond."""
-    H, W = img.shape[0], img.shape[1]
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    gray = rgb_to_gray_u8(quantize_u8(img)).astype(jnp.int32)
+    return quadtree_airlight_exact_planes(
+        tuple(img[..., c] for c in range(3)), min_size
+    )
+
+
+@partial(jax.jit, static_argnames=("min_size",))
+def quadtree_airlight_exact_planes(planes, min_size: int = 1) -> jnp.ndarray:
+    """Channel-first core of the exact per-block-Canny descent."""
+    r, g, b = planes
+    H, W = r.shape[0], r.shape[1]
+    gray = gray_u8_planes(*(quantize_u8(p) for p in planes)).astype(jnp.int32)
     plan = _level_plan(H, W, min_size)
     pad_h = plan[0][0] if plan else 1
     pad_w = plan[0][1] if plan else 1
     gray_pad = jnp.pad(gray, ((0, pad_h), (0, pad_w)))
-    planes = jnp.stack([r, g, b, r * r, g * g, b * b], axis=0)
-    sats = _sat(planes)  # (6, H+1, W+1)
+    stat_planes = jnp.stack([r, g, b, r * r, g * g, b * b], axis=0)
+    sats = _sat_rows(stat_planes)  # (6, H+1, W)
 
     def edge_count(rr, cc, hh, ww, bh, bw):
         """cv2.Canny edge count of the (hh, ww) crop at (rr, cc), computed
@@ -162,7 +205,7 @@ def quadtree_airlight_exact(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
         mh, mw = h // 2, w // 2
         rows = jnp.stack([r0, r0 + mh, r0 + h])
         cols = jnp.stack([c0, c0 + mw, c0 + w])
-        grid = sats[:, rows[None, :, None], cols[None, None, :]][:, 0]
+        grid = _corner_grid(sats, rows, cols)  # (6, 3, 3)
 
         def box(ri, ci, rj, cj):
             return (grid[:, rj, cj] - grid[:, ri, cj]
@@ -197,10 +240,4 @@ def quadtree_airlight_exact(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
             active, lambda s: level_step(s, bh, bw), lambda s: s, state
         )
     r0, c0, h, w = state
-
-    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
-    inside = (rows >= r0) & (rows < r0 + h) & (cols >= c0) & (cols < c0 + w)
-    score = jnp.where(inside, r + g + b, -jnp.inf)
-    flat_idx = jnp.argmax(score)
-    return img.reshape(-1, 3)[flat_idx]
+    return _brightest_pixel(planes, r0, c0, h, w)

@@ -65,9 +65,11 @@ def rgb_to_gray_u8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
 
     rgb_u8: (..., 3) int32 in [0,255].  Returns (...,) int32 in [0,255].
     """
-    r = rgb_u8[..., 0]
-    g = rgb_u8[..., 1]
-    b = rgb_u8[..., 2]
+    return gray_u8_planes(rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2])
+
+
+def gray_u8_planes(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact RGB2GRAY from separate channel planes (any shape)."""
     acc = r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_GRAY_SHIFT - 1))
     return acc >> _GRAY_SHIFT
 
@@ -107,8 +109,8 @@ def rgb_to_hsv_u8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     v = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - mn
-    sdiv = _table_lookup_matmul(v, _SDIV_TAB)
-    hdiv = _table_lookup_matmul(diff, _HDIV_TAB)
+    sdiv = _corrected_lookup(v, _SDIV_TAB, _g_sdiv_tab, "sdiv")
+    hdiv = _corrected_lookup(diff, _HDIV_TAB, _g_hdiv_tab, "hdiv")
     s = (diff * sdiv + (1 << 11)) >> 12
     term = jnp.where(
         v == r,
@@ -173,6 +175,119 @@ def lab_to_rgb_u8(lab_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Static-table lookups via f32 arithmetic surrogates + sparse correction.
+#
+# Every fixed-point table in the LAB/HSV pipelines is a rounded smooth
+# function (srgb gamma, cbrt, inverse gamma, L->y, division tables).  An f32
+# arithmetic evaluation reproduces the int tables with zero (verified) or a
+# handful of +-1 mismatches; the mismatch set is probed ON DEVICE once per
+# backend and folded in as `idx == k` corrections, so the lookup is exact by
+# construction while costing ~20 VPU ops/px instead of a ~190-op one-hot
+# matmul with big HBM intermediates (the earlier one-hot path also OOMed
+# large fused programs at 1080p).  Falls back to the matmul path if a
+# backend's surrogate diverges on >64 entries.
+# ---------------------------------------------------------------------------
+
+_SURROGATE_CORR: dict = {}
+
+
+def _corrected_lookup(idx: jnp.ndarray, table_np, g_fn, name: str) -> jnp.ndarray:
+    """Exact ``table_np[idx]`` via surrogate ``g_fn`` (int32 -> int32)."""
+    tab = np.asarray(table_np)
+    backend = jax.default_backend()
+    key = (name, backend)
+    if key not in _SURROGATE_CORR:
+        # Concrete (compile-time) evaluation even when called inside a trace.
+        # The probe MUST be jit-compiled: eager op-by-op dispatch uses
+        # different transcendental codegen than jitted programs on TPU
+        # (observed for cbrt), which would poison the correction set.
+        with jax.ensure_compile_time_eval():
+            probe = np.asarray(
+                jax.jit(g_fn)(jnp.arange(tab.shape[0], dtype=jnp.int32))
+            ).astype(np.int64)
+        delta = tab.astype(np.int64) - probe
+        nz = np.nonzero(delta)[0]
+        _SURROGATE_CORR[key] = (nz.astype(np.int32), delta[nz].astype(np.int32))
+    nz, dl = _SURROGATE_CORR[key]
+    if len(nz) > 64:  # pragma: no cover - surrogate unusable on this backend
+        return _table_lookup_matmul(idx, tab)
+    out = g_fn(idx)
+    for i, d in zip(nz.tolist(), dl.tolist()):
+        out = out + jnp.where(idx == i, jnp.int32(d), jnp.int32(0))
+    return out
+
+
+def _f32(v) -> np.float32:
+    return np.float32(v)
+
+
+def _stable(fn, x):
+    """Barrier-isolate a transcendental so its f32 result cannot change with
+    the surrounding fusion context (jnp.cbrt measured context-UNSTABLE on
+    TPU: 3 standalone corrections but 5 composed mismatches without this)."""
+    bar = jax.lax.optimization_barrier
+    return bar(fn(bar(x)))
+
+
+def _g_gamma_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.GAMMA_TAB: round(srgb_degamma(i/255) * 2040)."""
+    x = i.astype(jnp.float32) / _f32(255.0)
+    p = _stable(lambda v: ((v + _f32(0.055)) / _f32(1.055)) ** _f32(2.4), x)
+    lin = jnp.where(x <= _f32(0.04045), x / _f32(12.92), p)
+    return jnp.round(lin * _f32(2040.0)).astype(jnp.int32)
+
+
+def _g_cbrt_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.CBRT_TAB: round(labF(i/2040) * 2^15), all in f32."""
+    t = i.astype(jnp.float32) / _f32(2040.0)
+    f = jnp.where(t < _f32(0.008856), t * _f32(7.787) + _f32(16.0 / 116.0),
+                  _stable(jnp.cbrt, t))
+    return jnp.round(f * _f32(1 << 15)).astype(jnp.int32)
+
+
+def _g_inv_gamma_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.INV_GAMMA_TAB: clip(round(255 * srgb_gamma(i/4096)))."""
+    x = i.astype(jnp.float32) / _f32(4096.0)
+    p = _stable(
+        lambda v: _f32(1.055) * jnp.maximum(v, _f32(0.0)) ** _f32(1.0 / 2.4)
+        - _f32(0.055), x)
+    s = jnp.where(x <= _f32(0.0031308), x * _f32(12.92), p)
+    return jnp.clip(jnp.round(_f32(255.0) * s), 0, 255).astype(jnp.int32)
+
+
+def _g_l2y_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.L2YF_TAB[:, 0] (y in BASE scale, threshold L <= 20)."""
+    fi = i.astype(jnp.float32)
+    fy = (fi * _f32(100.0 / 255.0) + _f32(16.0)) / _f32(116.0)
+    lin = jnp.round(fi * _f32(16384.0) * _f32(100.0) / _f32(255.0 * 903.3))
+    cub = jnp.round(_f32(16384.0) * fy * fy * fy)
+    return jnp.where(i <= 20, lin, cub).astype(jnp.int32)
+
+
+def _g_l2ify_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.L2YF_TAB[:, 1] (ify in BASE scale)."""
+    fi = i.astype(jnp.float32)
+    fy = (fi * _f32(100.0 / 255.0) + _f32(16.0)) / _f32(116.0)
+    lin = jnp.round(_f32(16384.0) * (_f32(7.787) * fi * _f32(100.0)
+                                     / _f32(255.0 * 903.3) + _f32(16.0 / 116.0)))
+    cub = jnp.round(_f32(16384.0) * fy)
+    return jnp.where(i <= 20, lin, cub).astype(jnp.int32)
+
+
+def _g_sdiv_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """HSV sdiv table: round((255 << 12) / i), 0 at i=0."""
+    v = jnp.round(_f32(255 << 12) / jnp.maximum(i, 1).astype(jnp.float32))
+    return jnp.where(i == 0, 0, v.astype(jnp.int32))
+
+
+def _g_hdiv_tab(i: jnp.ndarray) -> jnp.ndarray:
+    """HSV hdiv table: round((180 << 12) / (6 i)), 0 at i=0."""
+    v = jnp.round(_f32(180 << 12)
+                  / (_f32(6.0) * jnp.maximum(i, 1).astype(jnp.float32)))
+    return jnp.where(i == 0, 0, v.astype(jnp.int32))
+
+
 def _table_lookup_matmul(idx: jnp.ndarray, table_np, lo_width: int = 64) -> jnp.ndarray:
     """table[idx] for int32 idx without per-pixel gathers (slow on TPU).
 
@@ -218,12 +333,21 @@ def rgb_to_lab_u8_exact(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     Reproduces RGB2Lab_b's fixed-point tables (ops/lab_tables.py, verified
     0 mismatches vs cv2 5.0 over 327k probes).  Used by the CLAHE strategy
     path and the LAB feature extractor."""
+    L, a, b = rgb_to_lab_u8_exact_planes(
+        rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2]
+    )
+    return jnp.stack([L, a, b], axis=-1)
+
+
+def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray):
+    """Bit-exact RGB2LAB from/to separate channel planes (the channel-first
+    hot path: NHWC channel-minor layouts measured ~7x slower when composed
+    with windowed ops in one program)."""
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
-    rgb = rgb_u8.astype(jnp.int32)
-    R = _table_lookup_matmul(rgb[..., 0], lt.GAMMA_TAB)
-    G = _table_lookup_matmul(rgb[..., 1], lt.GAMMA_TAB)
-    B = _table_lookup_matmul(rgb[..., 2], lt.GAMMA_TAB)
+    R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
+    G = _corrected_lookup(g.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
+    B = _corrected_lookup(b_.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
     C = lt.COEFFS
 
     def descale(v, n):
@@ -233,13 +357,14 @@ def rgb_to_lab_u8_exact(rgb_u8: jnp.ndarray) -> jnp.ndarray:
         acc = R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2])
         return jnp.clip(descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
 
-    fX = _table_lookup_matmul(idx(0), lt.CBRT_TAB)
-    fY = _table_lookup_matmul(idx(1), lt.CBRT_TAB)
-    fZ = _table_lookup_matmul(idx(2), lt.CBRT_TAB)
+    fX = _corrected_lookup(idx(0), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
+    fY = _corrected_lookup(idx(1), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
+    fZ = _corrected_lookup(idx(2), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
     L = descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2)
     a = descale(500 * (fX - fY) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
     b = descale(200 * (fY - fZ) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
-    return jnp.clip(jnp.stack([L, a, b], axis=-1), 0, 255)
+    clip = lambda v: jnp.clip(v, 0, 255)
+    return clip(L), clip(a), clip(b)
 
 
 def _ctrunc_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
@@ -252,15 +377,24 @@ def lab_to_rgb_u8_exact(lab_u8: jnp.ndarray) -> jnp.ndarray:
     """cv2.COLOR_LAB2RGB on uint8, BIT-EXACT (OpenCV Lab2RGBinteger).
 
     Verified 0 mismatches vs cv2 5.0 over 393k probes
-    (docs/lab_bitexact_notes.md).  The abToXZ table is evaluated as pure
-    integer arithmetic; the L->y/ify and inverse-gamma tables go through the
-    one-hot-matmul lookup (no per-pixel gathers)."""
+    (docs/lab_bitexact_notes.md)."""
+    r, g, b = lab_to_rgb_u8_exact_planes(
+        lab_u8[..., 0], lab_u8[..., 1], lab_u8[..., 2]
+    )
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def lab_to_rgb_u8_exact_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """Bit-exact LAB2RGB on separate planes.  The abToXZ table is evaluated
+    as pure integer arithmetic; the L->y/ify and inverse-gamma tables go
+    through the one-hot-matmul lookup (no per-pixel gathers)."""
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
-    lab = lab_u8.astype(jnp.int32)
-    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
-    y = _table_lookup_matmul(L, lt.L2YF_TAB[:, 0])
-    ify = _table_lookup_matmul(L, lt.L2YF_TAB[:, 1])
+    L = L.astype(jnp.int32)
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    y = _corrected_lookup(L, lt.L2YF_TAB[:, 0], _g_l2y_tab, "l2y")
+    ify = _corrected_lookup(L, lt.L2YF_TAB[:, 1], _g_l2ify_tab, "l2ify")
 
     adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
     bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
@@ -282,8 +416,9 @@ def lab_to_rgb_u8_exact(lab_u8: jnp.ndarray) -> jnp.ndarray:
     for ch in range(3):
         idx = descale(x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]), 14)
         idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
-        outs.append(_table_lookup_matmul(idx, lt.INV_GAMMA_TAB))
-    return jnp.stack(outs, axis=-1)
+        outs.append(_corrected_lookup(idx, lt.INV_GAMMA_TAB,
+                                      _g_inv_gamma_tab, "inv_gamma"))
+    return tuple(outs)
 
 
 def rgb_to_hsv_f32(rgb: jnp.ndarray) -> jnp.ndarray:

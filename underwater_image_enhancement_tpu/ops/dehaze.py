@@ -65,3 +65,56 @@ def recover_image(img: jnp.ndarray, t: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarr
     """
     t_e = t[..., None]
     return jnp.clip((img - A) / t_e + A, 0.0, 1.0)
+
+
+def estimate_transmission_six_planes(planes, A, omega, r: int, eps: float,
+                                     guided_subsample: int = 1):
+    """Channel-first six_stadigy.py:167-180: (r, g, b) planes, A (3,).
+
+    guided_subsample > 1 refines with the Fast Guided Filter (He et al.,
+    row-subsampled linear model) — the throughput mode's approximation."""
+    from underwater_image_enhancement_tpu.ops.colorspace import (
+        gray_u8_planes,
+        quantize_u8,
+        u8_to_unit,
+    )
+
+    dark = jnp.minimum(
+        jnp.minimum(planes[0] / (A[0] + 1e-6), planes[1] / (A[1] + 1e-6)),
+        planes[2] / (A[2] + 1e-6),
+    )
+    t = jnp.clip(1.0 - omega * dark, 0.1, 1.0)
+    gray = u8_to_unit(gray_u8_planes(*(quantize_u8(p) for p in planes)))
+    if guided_subsample > 1:
+        from underwater_image_enhancement_tpu.ops.guided import guided_filter_fast
+
+        t_refined = guided_filter_fast(gray, t, r, eps, guided_subsample)
+    else:
+        t_refined = guided_filter(gray, t, r, eps)
+    return jnp.clip(t_refined, 0.1, 1.0)
+
+
+def estimate_transmission_planes(planes, A, omega, r: int, eps: float):
+    """Channel-first enhancement_strategies.py:208-234 (single final clip)."""
+    from underwater_image_enhancement_tpu.ops.colorspace import (
+        gray_u8_planes,
+        quantize_u8,
+        u8_to_unit,
+    )
+
+    dark = jnp.minimum(
+        jnp.minimum(planes[0] / (A[0] + 1e-10), planes[1] / (A[1] + 1e-10)),
+        planes[2] / (A[2] + 1e-10),
+    )
+    t_initial = 1.0 - omega * dark
+    gray = u8_to_unit(gray_u8_planes(*(quantize_u8(p) for p in planes)))
+    t_refined = guided_filter(gray, t_initial, r, eps)
+    return jnp.clip(t_refined, 0.1, 1.0)
+
+
+def recover_planes(planes, t, A):
+    """Channel-first J = (I - A)/t + A per plane, clipped."""
+    return tuple(
+        jnp.clip((p - A[c]) / t + A[c], 0.0, 1.0)
+        for c, p in enumerate(planes)
+    )

@@ -34,14 +34,22 @@ def _round_half_even(x: jnp.ndarray) -> jnp.ndarray:
 def _histogram256(rows: jnp.ndarray) -> jnp.ndarray:
     """256-bin histograms of int32 rows: (T, N) -> (T, 256).
 
-    Compare-and-reduce formulation: XLA fuses the (T, N, 256) equality mask
-    into the reduction, so nothing is materialized.  ~600x faster than a
-    scatter-add on TPU (scatter serializes; this is pure VPU work).
+    Two-level one-hot OUTER PRODUCT on the MXU: hist[hi, lo] = sum_px
+    onehot16(hi_px) x onehot16(lo_px), i.e. a (16, N) x (N, 16) batched
+    matmul — 32 VPU compares/px + a trivial contraction, vs 512 ops/px for
+    the flat 256-wide compare-reduce (and ~600x faster than scatter-add,
+    which serializes).  One-hot entries are 0/1 (exact in bf16) and counts
+    accumulate in f32 (exact below 2^24), so the histogram is exact.
     """
-    bins = jnp.arange(256, dtype=jnp.int32)
-    return jnp.sum(
-        rows[:, :, None] == bins[None, None, :], axis=1, dtype=jnp.int32
-    )
+    bins = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((rows >> 4)[:, :, None] == bins).astype(jnp.bfloat16)
+    lo_oh = ((rows & 15)[:, :, None] == bins).astype(jnp.bfloat16)
+    hist = jax.lax.dot_general(
+        hi_oh, lo_oh,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (T, 16 hi, 16 lo)
+    return hist.reshape(rows.shape[0], 256).astype(jnp.int32)
 
 
 @jax.jit
@@ -77,6 +85,13 @@ def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
     u8 = cs.quantize_u8(img)
     chans = [equalize_hist_u8(u8[..., c]) for c in range(3)]
     return cs.u8_to_unit(jnp.stack(chans, axis=-1))
+
+
+def histogram_equalization_planes(planes):
+    """Channel-first variant: (r, g, b) float planes -> equalized planes."""
+    return tuple(
+        cs.u8_to_unit(equalize_hist_u8(cs.quantize_u8(p))) for p in planes
+    )
 
 
 def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.ndarray:
@@ -167,20 +182,32 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     ).reshape(by * bx, 4)
     luts4 = luts[jnp.asarray(ids)]  # (B, 4, 256) — row gather, cheap
 
-    bins = jnp.arange(256, dtype=jnp.int32)
-
-    def map_block(_, inp):
-        vals, l4 = inp
-        onehot = (vals[:, None] == bins[None, :]).astype(jnp.bfloat16)
-        mapped = jax.lax.dot_general(
-            onehot,
-            l4.astype(jnp.bfloat16).T,  # (256, 4)
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    # Two-level (64 lo x 4 hi) one-hot matmul, chunked over band-blocks:
+    # vs the earlier per-block 256-wide scan this quarters the one-hot
+    # construction cost AND replaces 81 sequential dispatches with ~6
+    # parallel batched matmuls.  One-hot entries and LUT values (<= 255) are
+    # exact in bfloat16 with an f32 accumulator, and the page-select sums a
+    # single non-zero term, so mapped values stay exact integers.
+    bins_lo = jnp.arange(64, dtype=jnp.int32)
+    NB = by * bx
+    CH = 16  # blocks per chunk: bounds the (c, A, 64) one-hot intermediate
+    t4 = luts4.astype(jnp.bfloat16).reshape(NB, 4, 4, 64)  # (B, lut, hi, lo)
+    parts = []
+    for s in range(0, NB, CH):
+        vals = blocks[s:s + CH]  # (c, A)
+        lo = vals & 63
+        hi = vals >> 6
+        oh = (lo[:, :, None] == bins_lo[None, None, :]).astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            oh, t4[s:s + CH],
+            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        return None, mapped
-
-    _, mapped = jax.lax.scan(map_block, None, (blocks, luts4))  # (B, A, 4)
+        )  # (c, A, 4 luts, 4 hi-pages)
+        pidx = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+        parts.append(jnp.sum(
+            jnp.where(hi[:, :, None, None] == pidx, tmp, 0.0), axis=3
+        ))
+    mapped = jnp.concatenate(parts, axis=0)  # (B, A, 4)
     mapped = (
         mapped.reshape(by, bx, th, tw, 4)
         .transpose(0, 2, 1, 3, 4)
@@ -218,9 +245,18 @@ def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
                       tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
     """LAB-L CLAHE roundtrip — enhancement_strategies.py:287-307 /
     six_stadigy.py:201-208.  img: (H, W, 3) float in [0,1] -> same."""
-    u8 = cs.quantize_u8(img)
-    lab = cs.rgb_to_lab_u8_exact(u8)  # bit-exact integer forward
-    L = clahe_u8(lab[..., 0], clip_limit, tiles_x, tiles_y)
-    lab = lab.at[..., 0].set(L)
-    rgb = cs.lab_to_rgb_u8_exact(lab)  # bit-exact integer inverse
-    return cs.u8_to_unit(rgb)
+    planes = tuple(img[..., c] for c in range(3))
+    out = clahe_enhancement_planes(planes, clip_limit, tiles_x, tiles_y)
+    return jnp.stack(out, axis=-1)
+
+
+def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
+                             tiles_x: int = 8, tiles_y: int = 8):
+    """Channel-first LAB-L CLAHE roundtrip: (r, g, b) float planes -> same.
+    Identical arithmetic to clahe_enhancement (bit-exact vs cv2); avoids
+    channel-minor NHWC tensors in composed programs."""
+    r8, g8, b8 = (cs.quantize_u8(p) for p in planes)
+    L, a, b = cs.rgb_to_lab_u8_exact_planes(r8, g8, b8)
+    L = clahe_u8(L, clip_limit, tiles_x, tiles_y)
+    rgb = cs.lab_to_rgb_u8_exact_planes(L, a, b)
+    return tuple(cs.u8_to_unit(c) for c in rgb)

@@ -203,6 +203,22 @@ def white_balance(img: jnp.ndarray, percentile=5.0, method: str = "sort") -> jnp
                              method=method)
 
 
+def color_enhancement_planes(planes, l_low=15.0, l_high=95.0,
+                             eps: float = 1e-10, method: str = "sort"):
+    """Channel-first per-channel percentile stretch: (r, g, b) planes."""
+    return tuple(stretch_channel(p, l_low, l_high, eps, method) for p in planes)
+
+
+def enhance_contrast_planes(planes, l_low=15.0, l_high=95.0,
+                            method: str = "sort"):
+    return color_enhancement_planes(planes, l_low, l_high, 1e-6, method)
+
+
+def white_balance_planes(planes, percentile=5.0, method: str = "sort"):
+    return color_enhancement_planes(planes, percentile, 100.0 - percentile,
+                                    1e-6, method)
+
+
 @jax.jit
 def gamma_correction_inv(img: jnp.ndarray, gamma=1.2) -> jnp.ndarray:
     """img ** (1/gamma), clipped — enhancement_strategies.py:276-285."""

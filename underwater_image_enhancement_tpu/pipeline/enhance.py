@@ -87,13 +87,25 @@ def six_strategy_single(img: jnp.ndarray, fast: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One image -> (6, H, W, 3) stack of all six strategies (after cast
     correction) + the cast code (six_stadigy.py:392-447 per-image body).
-    fast=True uses histogram percentiles (the batch-throughput mode)."""
-    from underwater_image_enhancement_tpu.pipeline.six import SIX_STRATEGIES_FAST
+    fast=True uses histogram percentiles (the batch-throughput mode).
 
-    table = SIX_STRATEGIES_FAST if fast else SIX_STRATEGIES
+    The atmospheric light is estimated ONCE and shared by the three dehaze
+    strategies — they all run the same descent on the same corrected image,
+    so the outputs are bit-identical to the per-strategy recomputation the
+    reference does (six_stadigy.py:231,242,252), at a third of the cost."""
+    from underwater_image_enhancement_tpu.pipeline import six as six_mod
+
+    method = "hist-fast" if fast else "sort"
     corrected, code = cast_mod.detect_and_correct(img)
-    outs = jnp.stack([table[k](corrected) for k in SIX_ORDER])
-    return outs, code
+    A = six_mod._airlight(six_mod._split(corrected), method)
+    outs = []
+    for k in SIX_ORDER:
+        builder = six_mod._BUILDERS[k]
+        if k in ("strong_dehazing", "medium_dehazing", "light_dehazing"):
+            outs.append(builder(corrected, method, A=A))
+        else:
+            outs.append(builder(corrected, method))
+    return jnp.stack(outs), code
 
 
 def six_strategy_batch(imgs: jnp.ndarray):

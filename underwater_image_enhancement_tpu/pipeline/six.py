@@ -5,6 +5,12 @@ transmission clipped before AND after refinement, gamma is img**g with no
 clip, stretch eps 1e-6).  Kept separate from pipeline.strategies by design:
 the two families diverge in the reference and both are reproduced as-is
 (SURVEY.md §7 "Reference divergences").
+
+TPU layout note: each recipe runs CHANNEL-FIRST internally — the input is
+split into materialized (H, W) planes at entry and restacked at exit.
+Composing channel-minor NHWC tensors with windowed/sliced ops in one XLA
+program measured ~7x slower (layout assignment pessimizes the whole
+pipeline); the plane form keeps W on the vector lanes throughout.
 """
 
 from __future__ import annotations
@@ -14,8 +20,8 @@ import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
 from underwater_image_enhancement_tpu.ops.airlight import (
-    quadtree_airlight,
-    quadtree_airlight_exact,
+    quadtree_airlight_exact_planes,
+    quadtree_airlight_planes,
 )
 
 
@@ -25,44 +31,68 @@ def _per_image(fn, img):
     return jax.vmap(fn)(img)
 
 
-def _restore(img, omega, radius, eps, method):
+def _split(img):
+    """NHWC -> materialized channel planes (see module docstring)."""
+    return tuple(jax.lax.optimization_barrier(img[..., c]) for c in range(3))
+
+
+def _airlight(p, method):
     # parity ('sort') variants rerun Canny per quadtree block exactly like
     # the reference (six_stadigy.py:115-157); the throughput variants use
     # the canonical global-edge-map descent
-    airlight_fn = quadtree_airlight if method == "hist-fast" else quadtree_airlight_exact
-    A = airlight_fn(img)
-    t = dehaze.estimate_transmission_six(img, A, omega, radius, eps)
-    return dehaze.recover_image(img, t, A)
+    if method == "hist-fast":
+        # 16 hysteresis rounds: the edge term only steers the descent
+        return quadtree_airlight_planes(p, edge_iters=16)
+    return quadtree_airlight_exact_planes(p)
 
 
-def _strategy1_strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _restore(p, omega, radius, eps, method, A=None):
+    # A may be precomputed once per image and shared: strategies 1-3 all
+    # estimate it from the SAME corrected input, so the results are
+    # identical (six_strategy_single exploits this; the reference recomputes
+    # it per strategy, six_stadigy.py:231,242,252)
+    if A is None:
+        A = _airlight(p, method)
+    sub = 4 if method == "hist-fast" else 1  # fast guided filter in fast mode
+    t = dehaze.estimate_transmission_six_planes(p, A, omega, radius, eps,
+                                                guided_subsample=sub)
+    return dehaze.recover_planes(p, t, A)
+
+
+def _gamma_pow(p, g):
+    return tuple(stretch.gamma_correction_pow(c, g) for c in p)
+
+
+def _strategy1_strong_dehazing(img: jnp.ndarray, method: str, A=None) -> jnp.ndarray:
     """six_stadigy.py:230-239: omega .3 r20 eps .5 -> stretch 5-98 ->
     CLAHE 3.0 -> gamma**1.5."""
     def one(im):
-        rec = _restore(im, 0.3, 20, 5e-1, method)
-        e = stretch.enhance_contrast(rec, 5.0, 98.0, method=method)
-        e = histeq.clahe_enhancement(e, 3.0)
-        return stretch.gamma_correction_pow(e, 1.5)
+        rec = _restore(_split(im), 0.3, 20, 5e-1, method, A)
+        e = stretch.enhance_contrast_planes(rec, 5.0, 98.0, method=method)
+        e = histeq.clahe_enhancement_planes(e, 3.0)
+        return jnp.stack(_gamma_pow(e, 1.5), axis=-1)
 
     return _per_image(one, img)
 
 
-def _strategy2_medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _strategy2_medium_dehazing(img: jnp.ndarray, method: str, A=None) -> jnp.ndarray:
     """six_stadigy.py:241-249: omega .5 r15 eps .5 -> stretch 15-95 -> CLAHE 2.0."""
     def one(im):
-        rec = _restore(im, 0.5, 15, 5e-1, method)
-        e = stretch.enhance_contrast(rec, 15.0, 95.0, method=method)
-        return histeq.clahe_enhancement(e, 2.0)
+        rec = _restore(_split(im), 0.5, 15, 5e-1, method, A)
+        e = stretch.enhance_contrast_planes(rec, 15.0, 95.0, method=method)
+        return jnp.stack(histeq.clahe_enhancement_planes(e, 2.0), axis=-1)
 
     return _per_image(one, img)
 
 
-def _strategy3_light_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _strategy3_light_dehazing(img: jnp.ndarray, method: str, A=None) -> jnp.ndarray:
     """six_stadigy.py:251-259: omega .7 r10 eps .1 -> stretch 20-85 -> WB p2."""
     def one(im):
-        rec = _restore(im, 0.7, 10, 1e-1, method)
-        e = stretch.enhance_contrast(rec, 20.0, 85.0, method=method)
-        return stretch.white_balance(e, 2.0, method=method)
+        rec = _restore(_split(im), 0.7, 10, 1e-1, method, A)
+        e = stretch.enhance_contrast_planes(rec, 20.0, 85.0, method=method)
+        return jnp.stack(
+            stretch.white_balance_planes(e, 2.0, method=method), axis=-1
+        )
 
     return _per_image(one, img)
 
@@ -70,10 +100,10 @@ def _strategy3_light_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
 def _strategy4_clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:261-268: CLAHE 4.0 -> stretch 10-95 -> WB p3 -> gamma**1.3."""
     def one(im):
-        e = histeq.clahe_enhancement(im, 4.0)
-        e = stretch.enhance_contrast(e, 10.0, 95.0, method=method)
-        e = stretch.white_balance(e, 3.0, method=method)
-        return stretch.gamma_correction_pow(e, 1.3)
+        e = histeq.clahe_enhancement_planes(_split(im), 4.0)
+        e = stretch.enhance_contrast_planes(e, 10.0, 95.0, method=method)
+        e = stretch.white_balance_planes(e, 3.0, method=method)
+        return jnp.stack(_gamma_pow(e, 1.3), axis=-1)
 
     return _per_image(one, img)
 
@@ -81,10 +111,10 @@ def _strategy4_clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
 def _strategy5_white_balance(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:270-277: WB p2 -> stretch 15-90 -> CLAHE 1.5 -> gamma**1.2."""
     def one(im):
-        e = stretch.white_balance(im, 2.0, method=method)
-        e = stretch.enhance_contrast(e, 15.0, 90.0, method=method)
-        e = histeq.clahe_enhancement(e, 1.5)
-        return stretch.gamma_correction_pow(e, 1.2)
+        e = stretch.white_balance_planes(_split(im), 2.0, method=method)
+        e = stretch.enhance_contrast_planes(e, 15.0, 90.0, method=method)
+        e = histeq.clahe_enhancement_planes(e, 1.5)
+        return jnp.stack(_gamma_pow(e, 1.2), axis=-1)
 
     return _per_image(one, img)
 
@@ -92,9 +122,9 @@ def _strategy5_white_balance(img: jnp.ndarray, method: str) -> jnp.ndarray:
 def _strategy6_histogram_eq(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:279-285: stretch 5-98 -> CLAHE 3.5 -> gamma**1.4."""
     def one(im):
-        e = stretch.enhance_contrast(im, 5.0, 98.0, method=method)
-        e = histeq.clahe_enhancement(e, 3.5)
-        return stretch.gamma_correction_pow(e, 1.4)
+        e = stretch.enhance_contrast_planes(_split(im), 5.0, 98.0, method=method)
+        e = histeq.clahe_enhancement_planes(e, 3.5)
+        return jnp.stack(_gamma_pow(e, 1.4), axis=-1)
 
     return _per_image(one, img)
 

@@ -6,6 +6,10 @@ name against compiled functions (a static dict — no data-dependent dispatch).
 
 Single-image (H, W, 3) and batched (B, H, W, 3) inputs both work; batched
 inputs vmap the per-image reductions (quadtree, percentiles, CLAHE).
+
+TPU layout note: recipes run CHANNEL-FIRST internally (materialized (H, W)
+planes, restacked at exit) — mixing channel-minor NHWC tensors with
+windowed/sliced ops in one program measured ~7x slower (see pipeline/six.py).
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
-from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight_exact
+from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight_exact_planes
 from underwater_image_enhancement_tpu.utils.config import DEFAULT_STRATEGIES
 
 
@@ -26,6 +30,10 @@ def _per_image(fn, img):
     if img.ndim == 3:
         return fn(img)
     return jax.vmap(fn)(img)
+
+
+def _split(img):
+    return tuple(jax.lax.optimization_barrier(img[..., c]) for c in range(3))
 
 
 def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
@@ -37,13 +45,14 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
     The airlight descent reruns Canny per block crop exactly like the
     reference's compute_Q (enhancement_strategies.py:180-183) — these
     strategies label the Phase-1 dataset, so their argmax must match."""
-    A = quadtree_airlight_exact(img)
-    t = dehaze.estimate_transmission(img, A, omega, guided_radius, 0.001)
-    rec = dehaze.recover_image(img, t, A)
-    out = stretch.color_enhancement(rec, l_low, l_high)
+    p = _split(img)
+    A = quadtree_airlight_exact_planes(p)
+    t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius, 0.001)
+    rec = dehaze.recover_planes(p, t, A)
+    out = stretch.color_enhancement_planes(rec, l_low, l_high)
     if apply_gamma:
-        out = stretch.gamma_correction_inv(out, gamma)
-    return out
+        out = tuple(stretch.gamma_correction_inv(c, gamma) for c in out)
+    return jnp.stack(out, axis=-1)
 
 
 @partial(jax.jit, static_argnames=())
@@ -80,8 +89,10 @@ def clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
     The L_low/L_high defaults (20/85) come from apply_clahe_enhancement's
     params.get defaults — config.py's clahe entry carries no L keys."""
     def one(im):
-        c = histeq.clahe_enhancement(im, 2.0, 8, 8)
-        return stretch.color_enhancement(c, 20.0, 85.0)
+        c = histeq.clahe_enhancement_planes(_split(im), 2.0, 8, 8)
+        return jnp.stack(
+            stretch.color_enhancement_planes(c, 20.0, 85.0), axis=-1
+        )
 
     return _per_image(one, img)
 
@@ -90,8 +101,10 @@ def clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
 def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
     """enhancement_strategies.py:460-474: hist-eq then stretch 10-95."""
     def one(im):
-        e = histeq.histogram_equalization(im)
-        return stretch.color_enhancement(e, 10.0, 95.0)
+        e = histeq.histogram_equalization_planes(_split(im))
+        return jnp.stack(
+            stretch.color_enhancement_planes(e, 10.0, 95.0), axis=-1
+        )
 
     return _per_image(one, img)
 
@@ -156,26 +169,28 @@ def _apply_custom(img, strategy_name: str, frozen):
         )
     if strategy_name == "clahe_enhancement":
         def one(im):
-            c = histeq.clahe_enhancement(
-                im, float(p.get("clip_limit", 2.0)),
+            c = histeq.clahe_enhancement_planes(
+                _split(im), float(p.get("clip_limit", 2.0)),
                 *(p.get("tile_grid_size", (8, 8))),
             )
-            out = stretch.color_enhancement(
+            out = stretch.color_enhancement_planes(
                 c, float(p.get("L_low", 20.0)), float(p.get("L_high", 85.0))
             )
             if p.get("apply_gamma", False):
-                out = stretch.gamma_correction_inv(out, float(p.get("gamma", 1.2)))
-            return out
+                out = tuple(stretch.gamma_correction_inv(
+                    ch, float(p.get("gamma", 1.2))) for ch in out)
+            return jnp.stack(out, axis=-1)
 
         return _per_image(one, img)
     # histogram_equalization
     def one(im):
-        e = histeq.histogram_equalization(im)
-        out = stretch.color_enhancement(
+        e = histeq.histogram_equalization_planes(_split(im))
+        out = stretch.color_enhancement_planes(
             e, float(p.get("L_low", 10.0)), float(p.get("L_high", 95.0))
         )
         if p.get("apply_gamma", False):
-            out = stretch.gamma_correction_inv(out, float(p.get("gamma", 1.2)))
-        return out
+            out = tuple(stretch.gamma_correction_inv(
+                ch, float(p.get("gamma", 1.2))) for ch in out)
+        return jnp.stack(out, axis=-1)
 
     return _per_image(one, img)
