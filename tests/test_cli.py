@@ -161,3 +161,10 @@ def test_cli_six_mixed_sizes_and_batching(tmp_path, rng):
           "--batch-size", "2"])
     pngs = [f for f in out.iterdir() if f.suffix == ".png"]
     assert len(pngs) == 4 * 6
+
+
+def test_cli_fusion(img_folder, tmp_path):
+    out = tmp_path / "fusion"
+    main(["fusion", "--input", str(img_folder), "--output", str(out)])
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["p0_fusion.png", "p1_fusion.png"]

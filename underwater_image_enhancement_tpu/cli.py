@@ -208,6 +208,38 @@ def _cmd_train_selector(args) -> None:
     print(json.dumps(results, indent=2))
 
 
+def _cmd_fusion(args) -> None:
+    """Ancuti multi-scale fusion enhancement (BASELINE config #4; batched
+    like `six`)."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.pipeline.fusion import ancuti_fusion
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    inp = Path(args.input)
+    files = uio.collect_images(args.input) if inp.is_dir() else [inp]
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    groups: dict = {}
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            print(f"  unreadable: {p.name}")
+            continue
+        groups.setdefault(img.shape, []).append((p, img))
+    done = 0
+    for shape, items in groups.items():
+        bs = max(1, int(args.batch_size))
+        for i in range(0, len(items), bs):
+            chunk = items[i:i + bs]
+            outs = np.asarray(ancuti_fusion(
+                jnp.asarray(np.stack([im for _, im in chunk]))))
+            for j, (p, _) in enumerate(chunk):
+                uio.imwrite_unit(str(outdir / f"{p.stem}_fusion.png"), outs[j])
+                done += 1
+    print(f"fused {done} images -> {args.output}")
+
+
 def _cmd_run(args) -> None:
     """Full self-supervised flow: Phase 1 + Phase 2 in one command
     (SelfSupervisedSystem.run, main.py:436-456)."""
@@ -363,6 +395,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".npz from convert-vgg: ImageNet VGG16 backbone + "
                         "perceptual-loss trunk (vgg_16_UIE.py:149,257)")
     p.set_defaults(fn=_cmd_train_vgg)
+
+    p = sub.add_parser("fusion", help="Ancuti multi-scale fusion enhancement")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.set_defaults(fn=_cmd_fusion)
 
     p = sub.add_parser("run", help="Phase 1 + Phase 2 in one command")
     p.add_argument("--input", required=True)
