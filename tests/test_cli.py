@@ -168,3 +168,11 @@ def test_cli_fusion(img_folder, tmp_path):
     main(["fusion", "--input", str(img_folder), "--output", str(out)])
     files = sorted(p.name for p in out.iterdir())
     assert files == ["p0_fusion.png", "p1_fusion.png"]
+
+
+def test_cli_waternet(img_folder, tmp_path):
+    out = tmp_path / "waternet"
+    main(["waternet", "--input", str(img_folder), "--output", str(out),
+          "--batch-size", "2"])
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["p0_waternet.png", "p1_waternet.png"]

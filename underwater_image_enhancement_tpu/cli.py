@@ -208,6 +208,51 @@ def _cmd_train_selector(args) -> None:
     print(json.dumps(results, indent=2))
 
 
+def _cmd_waternet(args) -> None:
+    """Water-Net gated-fusion CNN inference (BASELINE config #5): classical
+    WB/HE/gamma views + CNN fused in one jitted program per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.models import waternet as wn
+    from underwater_image_enhancement_tpu.utils import io as uio
+
+    model = wn.WaterNet(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        variables = ocp.StandardCheckpointer().restore(
+            str(Path(args.checkpoint).resolve()))
+    else:
+        print("no --checkpoint: using random-init weights (smoke/demo mode)")
+        variables = wn.init_waternet(jax.random.PRNGKey(0), 64, model)
+
+    inp = Path(args.input)
+    files = uio.collect_images(args.input) if inp.is_dir() else [inp]
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    groups: dict = {}
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            print(f"  unreadable: {p.name}")
+            continue
+        groups.setdefault(img.shape, []).append((p, img))
+    done = 0
+    for shape, items in groups.items():
+        bs = max(1, int(args.batch_size))
+        for i in range(0, len(items), bs):
+            chunk = items[i:i + bs]
+            outs = np.asarray(wn.waternet_enhance(
+                variables, jnp.asarray(np.stack([im for _, im in chunk])),
+                model))
+            for j, (p, _) in enumerate(chunk):
+                uio.imwrite_unit(str(outdir / f"{p.stem}_waternet.png"),
+                                 outs[j])
+                done += 1
+    print(f"waternet-enhanced {done} images -> {args.output}")
+
+
 def _cmd_fusion(args) -> None:
     """Ancuti multi-scale fusion enhancement (BASELINE config #4; batched
     like `six`)."""
@@ -401,6 +446,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--batch-size", type=int, default=4)
     p.set_defaults(fn=_cmd_fusion)
+
+    p = sub.add_parser("waternet",
+                       help="Water-Net CNN enhancer (views + CNN in one jit)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default="waternet_results")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint of WaterNet variables")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (deployment dtype)")
+    p.set_defaults(fn=_cmd_waternet)
 
     p = sub.add_parser("run", help="Phase 1 + Phase 2 in one command")
     p.add_argument("--input", required=True)

@@ -203,6 +203,23 @@ def white_balance(img: jnp.ndarray, percentile=5.0, method: str = "sort") -> jnp
                              method=method)
 
 
+@jax.jit
+def gray_world_white_balance(img: jnp.ndarray) -> jnp.ndarray:
+    """Classic gray-world white balance by channel-mean scaling.
+
+    out_c = img_c * mean(gray) / mean(c), where mean(gray) is the average of
+    the three channel means; clipped to [0, 1].  This is the textbook
+    gray-world assumption (BASELINE config #1 wording: "gray-world white
+    balance"); the reference's percentile-stretch flavor is
+    :func:`white_balance`.  img: (..., H, W, 3); means are per image.
+    Channel-first single-image variant: pipeline/fusion.py:gray_world_wb_planes.
+    """
+    means = jnp.mean(img, axis=(-3, -2), keepdims=True)  # (..., 1, 1, 3)
+    gray = jnp.mean(means, axis=-1, keepdims=True)
+    scale = gray / jnp.maximum(means, 1e-6)
+    return jnp.clip(img * scale, 0.0, 1.0)
+
+
 def color_enhancement_planes(planes, l_low=15.0, l_high=95.0,
                              eps: float = 1e-10, method: str = "sort"):
     """Channel-first per-channel percentile stretch: (r, g, b) planes."""
