@@ -186,8 +186,10 @@ def test_vgg_trainer_dp_grads_agree_with_single(mesh8, rng):
     assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1e-6) < 1e-4
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-        denom = max(np.abs(a).max(), 1e-3)
-        assert np.abs(a - b).max() / denom < 1e-3
+        # rel 1e-3 on the leaf's scale, abs floor 5e-6 for near-zero leaves
+        # (psum reassociation noise on ~1e-7 grads is not a DP bug)
+        tol = max(1e-3 * np.abs(a).max(), 5e-6)
+        assert np.abs(a - b).max() < tol
 
     # and the full jitted step runs sharded end-to-end (finite loss)
     loss = t.run_epoch([(imgs, refs)], train=True)

@@ -339,10 +339,23 @@ def rgb_to_lab_u8_exact(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([L, a, b], axis=-1)
 
 
-def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray):
+def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
+                               impl: str = "auto"):
     """Bit-exact RGB2LAB from/to separate channel planes (the channel-first
     hot path: NHWC channel-minor layouts measured ~7x slower when composed
-    with windowed ops in one program)."""
+    with windowed ops in one program).
+
+    impl: "pallas" runs the whole conversion as one fused VMEM kernel with
+    the GAMMA/CBRT tables as lane gathers (pallas_kernels.lab_forward_planes
+    — bit-identical); "xla" is the surrogate-arithmetic path; "auto" picks
+    pallas on the TPU backend for 2-D planes."""
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" and r.ndim == 2
+                else "xla")
+    if impl == "pallas" and r.ndim == 2:
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        return pk.lab_forward_planes(r, g, b_)
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
     R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
@@ -368,8 +381,20 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray):
 
 
 def _ctrunc_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
-    """C/C++ integer division (truncates toward zero; ints can be negative)."""
-    q = jnp.abs(a) // b
+    """C/C++ integer division (truncates toward zero; ints can be negative).
+
+    For non-power-of-two b, XLA lowers i32 `//` into a multi-op
+    convert/multiply/correct sequence that profiled at ~120us/frame per
+    division site; |a| in the LAB inverse fits float32 exactly (< 2^24), so
+    an f32 reciprocal multiply with a +-1 integer correction is exact and
+    ~4 cheap VPU ops."""
+    m = jnp.abs(a)
+    if b & (b - 1) == 0:  # power of two: a plain shift after abs
+        q = m >> int(b).bit_length() - 1
+    else:
+        q = (m.astype(jnp.float32) * np.float32(1.0 / b)).astype(jnp.int32)
+        r = m - q * b
+        q = q + (r >= b).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     return jnp.where(a < 0, -q, q)
 
 
@@ -384,10 +409,19 @@ def lab_to_rgb_u8_exact(lab_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
-def lab_to_rgb_u8_exact_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+def lab_to_rgb_u8_exact_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                               impl: str = "auto"):
     """Bit-exact LAB2RGB on separate planes.  The abToXZ table is evaluated
     as pure integer arithmetic; the L->y/ify and inverse-gamma tables go
-    through the one-hot-matmul lookup (no per-pixel gathers)."""
+    through surrogate lookups ("xla") or packed in-VMEM lane gathers
+    ("pallas", bit-identical; "auto" = pallas on TPU for 2-D planes)."""
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" and L.ndim == 2
+                else "xla")
+    if impl == "pallas" and L.ndim == 2:
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        return pk.lab_inverse_planes(L, a, b)
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
     L = L.astype(jnp.int32)

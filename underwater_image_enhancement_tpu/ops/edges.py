@@ -97,16 +97,17 @@ _TG22 = 13573  # tan(22.5 deg) in Q15, as in OpenCV canny.cpp
 
 @partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters", "use_pallas"))
 def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
-             hysteresis_iters: int = 64, use_pallas: bool = False,
+             hysteresis_iters: int = 64, use_pallas="auto",
              valid_hw=None) -> jnp.ndarray:
     """cv2.Canny(gray, low, high) on a uint8-valued int32 plane -> {0,1} mask.
 
     L1 gradient (|dx|+|dy|), 3x3 Sobel with REPLICATE border, OpenCV's
     integer NMS sector logic, bounded hysteresis (see module docstring).
-    use_pallas=True (requires hysteresis_iters == 64) runs the propagation
-    in the VMEM-banded Pallas kernel (ops/pallas_kernels.py) — bit-identical
-    output; measured at parity with the XLA loop on v5e (XLA schedules the
-    dilate chain well), kept as the iteration-in-VMEM reference kernel.
+    use_pallas=True runs the propagation in the VMEM-banded Pallas kernel
+    (ops/pallas_kernels.py) — bit-identical output for any iteration count
+    (halo >= iters); "auto" picks it on the TPU backend for 2-D planes,
+    where it replaces ``hysteresis_iters`` whole-image HBM round trips with
+    one banded pass (~0.5 ms/frame saved at 16 rounds; at parity at 64).
 
     valid_hw=(h, w) (traced scalars) restricts the plane to its top-left
     (h, w) region: with rows h-1/cols w-1 REPLICATED beyond the region (see
@@ -149,13 +150,17 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
     strong = cand & (m > high)
     weak = cand & ~strong
 
-    if use_pallas and hysteresis_iters == 64 and strong.ndim == 2:
-        from underwater_image_enhancement_tpu.ops.pallas_kernels import (
-            hysteresis_propagate,
-        )
+    from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
-        return hysteresis_propagate(strong.astype(jnp.int32),
-                                    weak.astype(jnp.int32))
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    # the banded kernel's layout is not vmap-safe, and sub-128-lane planes
+    # (quadtree leaf blocks) don't tile; both fall back to the XLA loop
+    if (use_pallas and strong.ndim == 2 and not pk.is_batched(strong, weak)
+            and strong.shape[1] >= 128):
+        return pk.hysteresis_propagate(strong.astype(jnp.int32),
+                                       weak.astype(jnp.int32),
+                                       iters=hysteresis_iters)
 
     def body(_, e):
         return e | (weak & _dilate8(e))

@@ -122,13 +122,19 @@ def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.nd
     return jnp.clip(_round_half_even(cdf * lut_scale), 0, 255).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "impl"))
 def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
-             tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
+             tiles_x: int = 8, tiles_y: int = 8,
+             impl: str = "auto") -> jnp.ndarray:
     """cv2 CLAHE on a uint8-valued int32 plane (H, W), bit-exact.
 
     Pads to tile multiples with REFLECT_101, builds per-tile clipped LUTs,
     bilinearly interpolates between the 4 neighboring tile LUTs, crops back.
+
+    impl: "pallas" runs the LUT apply + interpolation as one fused VMEM
+    kernel (ops/pallas_kernels.py:clahe_apply — bit-identical, ~3x less HBM
+    traffic); "xla" is the one-hot-matmul formulation; "auto" picks pallas
+    on the TPU backend.
     """
     H, W = channel_u8.shape
     th = -(-H // tiles_y)  # tile height on the padded image
@@ -160,9 +166,6 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     by = tiles_y + 1        # number of uniform row bands after padding
     bx = tiles_x + 1
     xp2 = jnp.pad(x, ((pt, pb), (plf, prt)), mode="edge")
-    blocks = (
-        xp2.reshape(by, th, bx, tw).transpose(0, 2, 1, 3).reshape(by * bx, th * tw)
-    )
 
     # the 4 fixed LUT ids per band-block (static python ints)
     import numpy as _np
@@ -181,6 +184,33 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
         axis=-1,
     ).reshape(by * bx, 4)
     luts4 = luts[jnp.asarray(ids)]  # (B, 4, 256) — row gather, cheap
+
+    from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and pk.is_batched(channel_u8):
+        impl = "xla"  # band-block grid layout is not vmap-safe
+    if impl == "pallas":
+        # band-block-frame OpenCV f32 weights: index 0 = first PADDED
+        # row/col, i.e. crop-frame coordinate -pt (resp. -plf); entries at
+        # negative coordinates are cropped below, any value is fine there
+        f32 = _np.float32
+        tyf = (_np.arange(-pt, by * th - pt, dtype=f32) * f32(1.0 / th)
+               - f32(0.5)).astype(f32)
+        txf = (_np.arange(-plf, bx * tw - plf, dtype=f32) * f32(1.0 / tw)
+               - f32(0.5)).astype(f32)
+        out = pk.clahe_apply(
+            xp2, luts4.astype(jnp.float32),
+            (tyf - _np.floor(tyf)).astype(f32),
+            (txf - _np.floor(txf)).astype(f32),
+            th, tw, by, bx,
+        )
+        return out[pt:pt + H, plf:plf + W]
+
+    blocks = (
+        xp2.reshape(by, th, bx, tw).transpose(0, 2, 1, 3).reshape(by * bx, th * tw)
+    )
 
     # Two-level (64 lo x 4 hi) one-hot matmul, chunked over band-blocks:
     # vs the earlier per-block 256-wide scan this quarters the one-hot

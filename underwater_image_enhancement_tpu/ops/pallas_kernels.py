@@ -14,6 +14,8 @@ CPU test suite exercises the same code path.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -26,6 +28,16 @@ HALO = ITERS        # halo rows >= iteration count => exact equivalence
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def is_batched(*xs) -> bool:
+    """True when any arg is a vmap BatchTracer.  The grid/BlockSpec layouts
+    here assume unbatched operands (refs are indexed positionally), so
+    dispatchers route batched traces to their XLA formulations instead —
+    except the pointwise LAB kernels, which carry a custom_vmap rule."""
+    from jax._src.interpreters.batching import BatchTracer
+
+    return any(isinstance(x, BatchTracer) for x in xs)
 
 
 def _dilate8_local(e: jnp.ndarray) -> jnp.ndarray:
@@ -41,31 +53,36 @@ def _dilate8_local(e: jnp.ndarray) -> jnp.ndarray:
     return out | left | right
 
 
-def _hyst_kernel(strong_ref, weak_ref, out_ref):
-    e = strong_ref[0]
-    w = weak_ref[0]
+def _make_hyst_kernel(iters: int, halo: int):
+    def _hyst_kernel(strong_ref, weak_ref, out_ref):
+        e = strong_ref[0]
+        w = weak_ref[0]
 
-    def body(_, e):
-        return e | (w & _dilate8_local(e))
+        def body(_, e):
+            return e | (w & _dilate8_local(e))
 
-    e = jax.lax.fori_loop(0, ITERS, body, e)
-    out_ref[0] = e[HALO:HALO + TILE_H, :]
+        e = jax.lax.fori_loop(0, iters, body, e)
+        out_ref[0] = e[halo:halo + TILE_H, :]
+
+    return _hyst_kernel
 
 
-@jax.jit
-def hysteresis_propagate(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
-    """edges = strong | (weak reachable from strong in <= 64 dilations).
+@partial(jax.jit, static_argnames=("iters",))
+def hysteresis_propagate(strong: jnp.ndarray, weak: jnp.ndarray,
+                         iters: int = ITERS) -> jnp.ndarray:
+    """edges = strong | (weak reachable from strong in <= iters dilations).
 
-    strong/weak: (H, W) int32 {0,1}.  Bit-identical to 64 global
-    dilate-and-mask iterations (see module docstring).
-    """
+    strong/weak: (H, W) int32 {0,1}.  Bit-identical to ``iters`` global
+    dilate-and-mask iterations (see module docstring; halo >= iters keeps
+    the band-local propagation exact for any iteration count)."""
     H, W = strong.shape
+    halo = iters
     n_bands = -(-H // TILE_H)
     pad_h = n_bands * TILE_H - H
     # zero-pad: HALO rows on top, HALO + band remainder on the bottom
-    sp = jnp.pad(strong, ((HALO, HALO + pad_h), (0, 0)))
-    wp = jnp.pad(weak, ((HALO, HALO + pad_h), (0, 0)))
-    bh = TILE_H + 2 * HALO
+    sp = jnp.pad(strong, ((halo, halo + pad_h), (0, 0)))
+    wp = jnp.pad(weak, ((halo, halo + pad_h), (0, 0)))
+    bh = TILE_H + 2 * halo
 
     # overlapping band windows (stride TILE_H, height TILE_H + 2*HALO) are
     # materialized by an XLA pre-gather: band b = rows [b*TILE_H, +bh)
@@ -76,7 +93,7 @@ def hysteresis_propagate(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
         lambda s: jax.lax.dynamic_slice(wp, (s, 0), (bh, W)))(starts)
 
     out = pl.pallas_call(
-        _hyst_kernel,
+        _make_hyst_kernel(iters, halo),
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec((1, bh, W), lambda i: (i, 0, 0),
@@ -90,3 +107,346 @@ def hysteresis_propagate(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
         interpret=_interpret(),
     )(s_bands, w_bands)
     return out.reshape(n_bands * TILE_H, W)[:H]
+
+
+# ---------------------------------------------------------------------------
+# Fused CLAHE apply: per-band-block LUT gather + bilinear interpolation
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation of the CLAHE lookup (ops/histeq.py:clahe_u8) maps each
+# band-block through its 4 tile LUTs with two-level one-hot matmuls, then
+# page-selects and reduces — materializing (B, A, 4, 4) f32 intermediates in
+# HBM (~170 MB per 1080p call) plus the block/unblock transposes.  Profiled
+# at ~1.06 ms per CLAHE roundtrip, x5 calls in the six-strategy program.
+#
+# Here the whole apply stage is ONE VMEM pass: each grid step loads one
+# band-block (th x tw_padded i32) plus its 4 LUTs (4 x 256 f32), performs the
+# four lookups with lane-dim dynamic gathers (jnp.take_along_axis on
+# 128-wide operands — tpu.dynamic_gather; round-1 probe notes in
+# docs/ROADMAP.md), and applies OpenCV's bilinear weight arithmetic with the
+# SAME host-precomputed float32 weight vectors as the XLA path.  Outputs are
+# bit-identical to clahe_u8's XLA path (gated by tests/test_pallas.py).
+
+
+def _lut_lookup_128(t0: jnp.ndarray, t1: jnp.ndarray, idx: jnp.ndarray):
+    """Gather from a 256-entry table split into two (H, 128) broadcast
+    segments; idx (H, 128) i32 in [0, 255]."""
+    lo = jnp.minimum(idx, 127)
+    hi = jnp.maximum(idx - 128, 0)
+    g0 = jnp.take_along_axis(t0, lo, axis=1)
+    g1 = jnp.take_along_axis(t1, hi, axis=1)
+    return jnp.where(idx < 128, g0, g1)
+
+
+def _clahe_apply_kernel(vals_ref, luts_ref, ya_ref, xa_ref, out_ref):
+    vals = jnp.clip(vals_ref[0], 0, 255)  # (th, twp) i32; pad lanes -> 0
+    th, twp = vals.shape
+    mapped = []
+    for k in range(4):
+        t0 = jnp.broadcast_to(luts_ref[0, k, :128][None, :], (th, 128))
+        t1 = jnp.broadcast_to(luts_ref[0, k, 128:][None, :], (th, 128))
+        cols = [
+            _lut_lookup_128(t0, t1, vals[:, c:c + 128])
+            for c in range(0, twp, 128)
+        ]
+        mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
+                      else cols[0])
+    xa = xa_ref[0]                   # (1, twp) f32
+    xa1 = jnp.float32(1.0) - xa
+    ya = ya_ref[0]                   # (th, 1) f32
+    ya1 = jnp.float32(1.0) - ya
+    # OpenCV f32 accumulation order: (m0*xa1 + m1*xa)*ya1 + (m2*xa1 + m3*xa)*ya
+    top = mapped[0] * xa1 + mapped[1] * xa
+    bot = mapped[2] * xa1 + mapped[3] * xa
+    v = top * ya1 + bot * ya
+    out_ref[0] = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
+
+
+def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
+                th: int, tw: int, by: int, bx: int) -> jnp.ndarray:
+    """Map + interpolate a half-tile-padded image through band-block LUTs.
+
+    xp2: (by*th, bx*tw) i32 padded image (histeq.clahe_u8's layout);
+    luts4: (by*bx, 4, 256) f32 — the TL/TR/BL/BR tile LUT per band-block;
+    ya_np/xa_np: host numpy f32 interpolation fractions in the BAND-BLOCK
+    frame, shapes (by*th,) and (bx*tw,) — i.e. the crop-frame OpenCV weights
+    shifted by the half-tile offsets so index 0 is the first padded row/col.
+    Returns (by*th, bx*tw) i32 mapped+interpolated (crop on the caller side).
+    """
+    import numpy as _np
+
+    twp = -(-tw // 128) * 128
+    B = by * bx
+    blocks = (
+        xp2.reshape(by, th, bx, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, th, tw)
+    )
+    if twp != tw:
+        blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, twp - tw)))
+    ya_b = jnp.asarray(
+        _np.asarray(ya_np, _np.float32).reshape(by, th, 1))
+    xa_b = _np.asarray(xa_np, _np.float32).reshape(bx, 1, tw)
+    if twp != tw:
+        xa_b = _np.pad(xa_b, ((0, 0), (0, 0), (0, twp - tw)))
+    xa_b = jnp.asarray(xa_b)
+
+    out = pl.pallas_call(
+        _clahe_apply_kernel,
+        grid=(by, bx),
+        in_specs=[
+            pl.BlockSpec((1, th, twp), lambda i, j: (i * bx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 256), lambda i, j: (i * bx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, twp), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, twp), lambda i, j: (i * bx + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, th, twp), jnp.int32),
+        interpret=_interpret(),
+    )(blocks, luts4, ya_b, xa_b)
+    return (
+        out[:, :, :tw]
+        .reshape(by, bx, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(by * th, bx * tw)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact LAB legs as fused VMEM kernels
+# ---------------------------------------------------------------------------
+#
+# The XLA path evaluates OpenCV's fixed-point LAB tables through arithmetic
+# surrogates (ops/colorspace.py) whose barrier-isolated transcendentals
+# fragment into ~8 full-frame loop fusions per CLAHE roundtrip (~700 us/frame
+# profiled across the six-strategy program).  Here each direction is ONE
+# VMEM pass: the tables ride along as (segments, 128) operands and every
+# lookup is a lane-dim dynamic gather (segment-selected for tables wider
+# than 128; 16-bit/8-bit entries are packed 2/4-per-int32).  All integer
+# arithmetic is the same OpenCV fixed-point sequence as the XLA path, so
+# outputs are bit-identical (gated by tests/test_pallas.py).
+
+
+def _seg_gather(tab_ref_row, idx: jnp.ndarray, segments: int) -> jnp.ndarray:
+    """Gather ``flat_table[idx]`` where the flat table is laid out as
+    (segments, 128) rows of ``tab_ref_row`` (a loaded (S, 128) array).
+    idx: (H, 128) i32, pre-clipped to [0, segments*128)."""
+    H = idx.shape[0]
+    lane = idx & 127
+    if segments == 1:
+        t = jnp.broadcast_to(tab_ref_row[0][None, :], (H, 128))
+        return jnp.take_along_axis(t, lane, axis=1)
+    seg = idx >> 7
+    out = None
+    for s in range(segments):
+        t = jnp.broadcast_to(tab_ref_row[s][None, :], (H, 128))
+        g = jnp.take_along_axis(t, lane, axis=1)
+        out = g if out is None else jnp.where(seg == s, g, out)
+    return out
+
+
+def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (v + (1 << (n - 1))) >> n
+
+
+def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, cbrt_ref,
+                    L_ref, a_ref, bb_ref):
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    gam = gam_ref[...]     # (2, 128) i32
+    cbrt = cbrt_ref[...]   # (12, 128) i32, two 16-bit entries per word
+    R = _seg_gather(gam, jnp.clip(r_ref[...], 0, 255), 2)
+    G = _seg_gather(gam, jnp.clip(g_ref[...], 0, 255), 2)
+    B = _seg_gather(gam, jnp.clip(b_ref[...], 0, 255), 2)
+    C = lt.COEFFS
+
+    def cbrt_lookup(row):
+        acc = (R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2]))
+        idx = jnp.clip(_descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
+        word = _seg_gather(cbrt, idx >> 1, 12)
+        return (word >> ((idx & 1) << 4)) & 0xFFFF
+
+    fX = cbrt_lookup(0)
+    fY = cbrt_lookup(1)
+    fZ = cbrt_lookup(2)
+    clip = lambda v: jnp.clip(v, 0, 255)
+    L_ref[...] = clip(_descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2))
+    a_ref[...] = clip(_descale(500 * (fX - fY) + (128 << lt.LAB_SHIFT2),
+                               lt.LAB_SHIFT2))
+    bb_ref[...] = clip(_descale(200 * (fY - fZ) + (128 << lt.LAB_SHIFT2),
+                                lt.LAB_SHIFT2))
+
+
+_LAB_TABS: dict = {}
+
+
+def _pack_u32(*fields):
+    """Pack (array, bit_offset) fields into one int32 word array.  Packing
+    happens in int64 then reinterprets as int32: entries like 32768 << 16 or
+    255 << 24 overflow a direct int32 shift."""
+    import numpy as _np
+
+    acc = _np.zeros(fields[0][0].shape, _np.int64)
+    for arr, off in fields:
+        acc |= _np.asarray(arr, _np.int64) << off
+    return (acc & 0xFFFFFFFF).astype(_np.uint32).view(_np.int32)
+
+
+def _lab_fwd_tables():
+    if "fwd" not in _LAB_TABS:
+        import numpy as _np
+
+        from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+        gam = _np.asarray(lt.GAMMA_TAB, _np.int32).reshape(2, 128)
+        cb = _np.asarray(lt.CBRT_TAB, _np.int32)  # (3072,), entries <= 2^15
+        packed = _pack_u32((cb[0::2], 0), (cb[1::2], 16))
+        _LAB_TABS["fwd"] = (gam, packed.reshape(12, 128))
+    return _LAB_TABS["fwd"]
+
+
+def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, ig_ref,
+                    r_ref, g_ref, bb_ref):
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+    from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
+
+    l2yf = l2yf_ref[...]   # (2, 128) i32: y | (ify << 16), both < 2^15
+    ig = ig_ref[...]       # (8, 128) i32: four u8 INV_GAMMA entries per word
+    L = jnp.clip(L_ref[...], 0, 255)
+    a = a_ref[...]
+    b = b_ref[...]
+    word = _seg_gather(l2yf, L, 2)
+    y = word & 0xFFFF
+    ify = (word >> 16) & 0xFFFF
+
+    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
+    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
+
+    def ab_to_xz(v):
+        v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
+        lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
+        cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
+        return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
+
+    x = ab_to_xz(ify + adiv)
+    z = ab_to_xz(ify - bdiv)
+    C = lt.COEFFS_INV
+    outs = (r_ref, g_ref, bb_ref)
+    for ch in range(3):
+        idx = _descale(
+            x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]), 14)
+        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
+        w = _seg_gather(ig, idx >> 2, 8)
+        outs[ch][...] = (w >> ((idx & 3) << 3)) & 0xFF
+
+
+def _lab_inv_tables():
+    if "inv" not in _LAB_TABS:
+        import numpy as _np
+
+        from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+        yf = _np.asarray(lt.L2YF_TAB, _np.int32)        # (256, 2), <= 2^14
+        packed_yf = _pack_u32((yf[:, 0], 0), (yf[:, 1], 16))
+        igt = _np.asarray(lt.INV_GAMMA_TAB, _np.int32)   # (4096,) u8 values
+        packed_ig = _pack_u32((igt[0::4], 0), (igt[1::4], 8),
+                              (igt[2::4], 16), (igt[3::4], 24))
+        _LAB_TABS["inv"] = (packed_yf.reshape(2, 128),
+                            packed_ig.reshape(8, 128))
+    return _LAB_TABS["inv"]
+
+
+TILE_LAB = 128  # rows per grid step for the plane-wise LAB kernels
+
+
+@jax.custom_batching.custom_vmap
+def _lab_forward_planes(r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray):
+    H, W = r8.shape
+    Hp = -(-H // TILE_LAB) * TILE_LAB
+    Wp = -(-W // 128) * 128
+    pads = ((0, Hp - H), (0, Wp - W))
+    rp, gp, bp = (jnp.pad(p.astype(jnp.int32), pads) for p in (r8, g8, b8))
+    gam, cbrt = _lab_fwd_tables()
+    grid = (Hp // TILE_LAB, Wp // 128)
+    img_spec = pl.BlockSpec((TILE_LAB, 128), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    tab = lambda s: pl.BlockSpec((s, 128), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    L, a, b = pl.pallas_call(
+        _lab_fwd_kernel,
+        grid=grid,
+        in_specs=[img_spec, img_spec, img_spec, tab(2), tab(12)],
+        out_specs=[img_spec, img_spec, img_spec],
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3,
+        interpret=_interpret(),
+    )(rp, gp, bp, jnp.asarray(gam), jnp.asarray(cbrt))
+    return L[:H, :W], a[:H, :W], b[:H, :W]
+
+
+def _pointwise_flatten_vmap(fn):
+    """custom_vmap rule for a pointwise (plane -> plane) kernel: fold the
+    batch dim into rows, run the 2-D kernel once, unfold.  Exact for
+    pointwise maps; composes under nested vmap (the rule re-enters fn)."""
+
+    def rule(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched))
+        shp = args[0].shape              # (B, H, W)
+        flat = tuple(a.reshape(-1, shp[-1]) for a in args)
+        outs = fn(*flat)
+        return tuple(o.reshape(shp) for o in outs), (True,) * len(outs)
+
+    fn.def_vmap(rule)
+    return fn
+
+
+_pointwise_flatten_vmap(_lab_forward_planes)
+lab_forward_planes = jax.jit(_lab_forward_planes)
+lab_forward_planes.__doc__ = (
+    """Bit-exact cv2 RGB2LAB on u8-valued int32 planes (H, W) -> (L, a, b).
+
+    Same fixed-point pipeline as colorspace.rgb_to_lab_u8_exact_planes
+    (lab_tables.py cites the OpenCV sources), with the GAMMA/CBRT tables as
+    in-VMEM lane gathers instead of arithmetic surrogates.  vmap-safe: the
+    custom_vmap rule folds the batch dim into rows (pointwise map).""")
+
+
+@jax.custom_batching.custom_vmap
+def _lab_inverse_planes(L8: jnp.ndarray, a8: jnp.ndarray, b8: jnp.ndarray):
+    H, W = L8.shape
+    Hp = -(-H // TILE_LAB) * TILE_LAB
+    Wp = -(-W // 128) * 128
+    pads = ((0, Hp - H), (0, Wp - W))
+    Lp, ap, bp = (jnp.pad(p.astype(jnp.int32), pads) for p in (L8, a8, b8))
+    l2yf, ig = _lab_inv_tables()
+    grid = (Hp // TILE_LAB, Wp // 128)
+    img_spec = pl.BlockSpec((TILE_LAB, 128), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    tab = lambda s: pl.BlockSpec((s, 128), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        _lab_inv_kernel,
+        grid=grid,
+        in_specs=[img_spec, img_spec, img_spec, tab(2), tab(8)],
+        out_specs=[img_spec, img_spec, img_spec],
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3,
+        interpret=_interpret(),
+    )(Lp, ap, bp, jnp.asarray(l2yf), jnp.asarray(ig))
+    return r[:H, :W], g[:H, :W], b[:H, :W]
+
+
+_pointwise_flatten_vmap(_lab_inverse_planes)
+lab_inverse_planes = jax.jit(_lab_inverse_planes)
+lab_inverse_planes.__doc__ = (
+    """Bit-exact cv2 LAB2RGB on u8-valued int32 planes (H, W) -> (r, g, b).
+
+    Same fixed-point pipeline as colorspace.lab_to_rgb_u8_exact_planes
+    (OpenCV Lab2RGBinteger; table notes in lab_tables.py), with the
+    L2YF/INV_GAMMA tables as packed in-VMEM lane gathers.  vmap-safe via
+    the same row-folding custom_vmap rule as the forward kernel.""")
