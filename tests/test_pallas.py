@@ -106,6 +106,22 @@ def test_lab_roundtrip_kernels_vs_cv2_oracle(rng):
     np.testing.assert_array_equal(got2, want2.astype(np.int32))
 
 
+def test_clahe_vmap_rule_matches_per_image(rng):
+    """vmap(clahe_u8) routes through the batch-folded formulation
+    (histeq._clahe_u8_batched); outputs must equal per-image calls
+    bit-for-bit on both impls."""
+    import jax
+    from underwater_image_enhancement_tpu.ops.histeq import clahe_u8
+
+    x = rng.integers(0, 256, (3, 90, 121)).astype(np.int32)
+    for impl in ("xla", "pallas"):
+        got = jax.vmap(lambda p: clahe_u8(p, 3.0, impl=impl))(jnp.asarray(x))
+        for b in range(x.shape[0]):
+            want = clahe_u8(jnp.asarray(x[b]), 3.0, impl=impl)
+            np.testing.assert_array_equal(np.asarray(got[b]),
+                                          np.asarray(want))
+
+
 def test_clahe_pallas_impl_bit_identical(rng):
     from underwater_image_enhancement_tpu.ops.histeq import clahe_u8
 

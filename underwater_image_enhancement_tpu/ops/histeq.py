@@ -122,52 +122,46 @@ def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.nd
     return jnp.clip(_round_half_even(cdf * lut_scale), 0, 255).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "impl"))
-def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
-             tiles_x: int = 8, tiles_y: int = 8,
-             impl: str = "auto") -> jnp.ndarray:
-    """cv2 CLAHE on a uint8-valued int32 plane (H, W), bit-exact.
+def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
+                      tiles_x: int, tiles_y: int, impl: str) -> jnp.ndarray:
+    """cv2 CLAHE on (B, H, W) uint8-valued int32 planes, bit-exact.
 
-    Pads to tile multiples with REFLECT_101, builds per-tile clipped LUTs,
-    bilinearly interpolates between the 4 neighboring tile LUTs, crops back.
-
-    impl: "pallas" runs the LUT apply + interpolation as one fused VMEM
-    kernel (ops/pallas_kernels.py:clahe_apply — bit-identical, ~3x less HBM
-    traffic); "xla" is the one-hot-matmul formulation; "auto" picks pallas
-    on the TPU backend.
+    The batch dim folds into the tile/band-block axes, so B images cost the
+    same program SHAPE as one image with B x the blocks — this is also the
+    custom_vmap rule for clahe_u8 (a vmapped one-hot-matmul formulation
+    measured pathological: the batched intermediates spill to HBM).
     """
-    H, W = channel_u8.shape
+    Bn, H, W = xb.shape
     th = -(-H // tiles_y)  # tile height on the padded image
     tw = -(-W // tiles_x)
     pad_b = th * tiles_y - H
     pad_r = tw * tiles_x - W
-    x = jnp.pad(channel_u8, ((0, pad_b), (0, pad_r)), mode="reflect")
+    x = jnp.pad(xb, ((0, 0), (0, pad_b), (0, pad_r)), mode="reflect")
     Hp, Wp = th * tiles_y, tw * tiles_x
 
+    T = tiles_y * tiles_x
     tiles = (
-        x.reshape(tiles_y, th, tiles_x, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(tiles_y * tiles_x, th * tw)
+        x.reshape(Bn, tiles_y, th, tiles_x, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(Bn * T, th * tw)
     )
-    luts = _clahe_luts(tiles, th * tw, clip_limit)  # (T, 256)
+    luts = _clahe_luts(tiles, th * tw, clip_limit).reshape(Bn, T, 256)
 
     # --- Bilinear interpolation between the 4 surrounding tile LUTs ---
     # Per-pixel scalar gathers are pathological on TPU (~60 ms at 1080p), so
-    # the lookup is reformulated as MXU matmuls: pad the image by a half tile
+    # the lookup is reformulated per band-block: pad the image by a half tile
     # on each side so the "which 4 LUTs" partition becomes a uniform
-    # (2*tiles+1)-band grid, then for each band-block (which references 4
-    # FIXED LUTs) map values through one-hot x LUT matmuls.  One-hot entries
-    # and LUT values (<=255) are exact in bfloat16, and the MXU accumulates
-    # in fp32, so the mapped values are exact integers.
+    # (2*tiles+1)-band grid; each band-block references 4 FIXED LUTs.
     pt = th // 2            # rows with ty1 == -1 number ceil(th/2)
     pb = th - pt
     plf = tw // 2
     prt = tw - plf
     by = tiles_y + 1        # number of uniform row bands after padding
     bx = tiles_x + 1
-    xp2 = jnp.pad(x, ((pt, pb), (plf, prt)), mode="edge")
+    NB = by * bx
+    xp2 = jnp.pad(x, ((0, 0), (pt, pb), (plf, prt)), mode="edge")
 
-    # the 4 fixed LUT ids per band-block (static python ints)
+    # the 4 fixed LUT ids per band-block (static python ints, same per image)
     import numpy as _np
 
     r1 = _np.clip(_np.arange(by) - 1, 0, tiles_y - 1)
@@ -182,17 +176,17 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
             (r2[:, None] * tiles_x + c2[None, :]),  # BR
         ],
         axis=-1,
-    ).reshape(by * bx, 4)
-    luts4 = luts[jnp.asarray(ids)]  # (B, 4, 256) — row gather, cheap
+    ).reshape(NB, 4)
+    luts4 = luts[:, jnp.asarray(ids)]  # (Bn, NB, 4, 256) — row gather, cheap
 
     from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and pk.is_batched(channel_u8):
-        impl = "xla"  # band-block grid layout is not vmap-safe
     if impl == "pallas":
-        # band-block-frame OpenCV f32 weights: index 0 = first PADDED
+        # one fused VMEM pass per band-block: LUT lane-gathers + OpenCV f32
+        # bilinear arithmetic (pallas_kernels.clahe_apply, bit-identical).
+        # Band-block-frame OpenCV f32 weights: index 0 = first PADDED
         # row/col, i.e. crop-frame coordinate -pt (resp. -plf); entries at
         # negative coordinates are cropped below, any value is fine there
         f32 = _np.float32
@@ -201,15 +195,17 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
         txf = (_np.arange(-plf, bx * tw - plf, dtype=f32) * f32(1.0 / tw)
                - f32(0.5)).astype(f32)
         out = pk.clahe_apply(
-            xp2, luts4.astype(jnp.float32),
+            xp2, luts4.reshape(Bn * NB, 4, 256).astype(jnp.float32),
             (tyf - _np.floor(tyf)).astype(f32),
             (txf - _np.floor(txf)).astype(f32),
             th, tw, by, bx,
         )
-        return out[pt:pt + H, plf:plf + W]
+        return out[:, pt:pt + H, plf:plf + W]
 
     blocks = (
-        xp2.reshape(by, th, bx, tw).transpose(0, 2, 1, 3).reshape(by * bx, th * tw)
+        xp2.reshape(Bn, by, th, bx, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(Bn * NB, th * tw)
     )
 
     # Two-level (64 lo x 4 hi) one-hot matmul, chunked over band-blocks:
@@ -219,11 +215,10 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     # exact in bfloat16 with an f32 accumulator, and the page-select sums a
     # single non-zero term, so mapped values stay exact integers.
     bins_lo = jnp.arange(64, dtype=jnp.int32)
-    NB = by * bx
     CH = 16  # blocks per chunk: bounds the (c, A, 64) one-hot intermediate
-    t4 = luts4.astype(jnp.bfloat16).reshape(NB, 4, 4, 64)  # (B, lut, hi, lo)
+    t4 = luts4.astype(jnp.bfloat16).reshape(Bn * NB, 4, 4, 64)
     parts = []
-    for s in range(0, NB, CH):
+    for s in range(0, Bn * NB, CH):
         vals = blocks[s:s + CH]  # (c, A)
         lo = vals & 63
         hi = vals >> 6
@@ -237,11 +232,11 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
         parts.append(jnp.sum(
             jnp.where(hi[:, :, None, None] == pidx, tmp, 0.0), axis=3
         ))
-    mapped = jnp.concatenate(parts, axis=0)  # (B, A, 4)
+    mapped = jnp.concatenate(parts, axis=0)  # (Bn*NB, A, 4)
     mapped = (
-        mapped.reshape(by, bx, th, tw, 4)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(by * th, bx * tw, 4)[pt : pt + Hp, plf : plf + Wp]
+        mapped.reshape(Bn, by, bx, th, tw, 4)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(Bn, by * th, bx * tw, 4)[:, pt : pt + Hp, plf : plf + Wp]
     )
 
     # Weight construction (y * (1/th) - 0.5 in fp32) and the accumulation
@@ -258,16 +253,69 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     txf = (_np.arange(Wp, dtype=f32) * f32(1.0 / tw) - f32(0.5)).astype(f32)
     ya_np = (tyf - _np.floor(tyf)).astype(f32)
     xa_np = (txf - _np.floor(txf)).astype(f32)
-    ya = jnp.asarray(ya_np)[:, None]
-    xa = jnp.asarray(xa_np)[None, :]
-    ya1 = jnp.asarray((f32(1.0) - ya_np).astype(f32))[:, None]
-    xa1 = jnp.asarray((f32(1.0) - xa_np).astype(f32))[None, :]
+    ya = jnp.asarray(ya_np)[None, :, None]
+    xa = jnp.asarray(xa_np)[None, None, :]
+    ya1 = jnp.asarray((f32(1.0) - ya_np).astype(f32))[None, :, None]
+    xa1 = jnp.asarray((f32(1.0) - xa_np).astype(f32))[None, None, :]
     bar = jax.lax.optimization_barrier
     top = bar(bar(mapped[..., 0] * xa1) + bar(mapped[..., 1] * xa))
     bot = bar(bar(mapped[..., 2] * xa1) + bar(mapped[..., 3] * xa))
     v = bar(top * ya1) + bar(bot * ya)
     out = jnp.clip(_round_half_even(v), 0, 255).astype(jnp.int32)
-    return out[:H, :W]
+    return out[:, :H, :W]
+
+
+_CLAHE_CV_CACHE: dict = {}
+
+
+def _clahe_cv(clip_limit: float, tiles_x: int, tiles_y: int, impl: str):
+    """custom_vmap wrapper per static config: vmap folds the batch into the
+    tile/block axes of _clahe_u8_batched instead of batching the program."""
+    key = (clip_limit, tiles_x, tiles_y, impl)
+    if key not in _CLAHE_CV_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def f(x):
+            return _clahe_u8_batched(x[None], clip_limit, tiles_x, tiles_y,
+                                     impl)[0]
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, x):
+            if not in_batched[0]:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            lead = x.shape[:-2]
+            out = _clahe_u8_batched(x.reshape((-1,) + x.shape[-2:]),
+                                    clip_limit, tiles_x, tiles_y, impl)
+            return out.reshape(lead + out.shape[-2:]), True
+
+        _CLAHE_CV_CACHE[key] = f
+    return _CLAHE_CV_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "impl"))
+def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
+             tiles_x: int = 8, tiles_y: int = 8,
+             impl: str = "auto") -> jnp.ndarray:
+    """cv2 CLAHE on a uint8-valued int32 plane (H, W), bit-exact.
+
+    Pads to tile multiples with REFLECT_101, builds per-tile clipped LUTs,
+    bilinearly interpolates between the 4 neighboring tile LUTs, crops back.
+
+    impl: "pallas" runs the LUT apply + interpolation as one fused VMEM
+    kernel (ops/pallas_kernels.py:clahe_apply — bit-identical, ~3x less HBM
+    traffic); "xla" is the one-hot-matmul formulation; "auto" picks pallas
+    on the TPU backend.  vmap-safe: a custom_vmap rule folds the batch dim
+    into the band-block axes (see _clahe_u8_batched)."""
+    return _clahe_cv(float(clip_limit), tiles_x, tiles_y, impl)(channel_u8)
+
+
+def clahe_u8_batch(batch_u8: jnp.ndarray, clip_limit: float = 2.0,
+                   tiles_x: int = 8, tiles_y: int = 8,
+                   impl: str = "auto") -> jnp.ndarray:
+    """Explicit batched CLAHE: (B, H, W) int32 -> (B, H, W), bit-exact
+    per image (identical to mapping clahe_u8 over the batch)."""
+    return _clahe_u8_batched(batch_u8, float(clip_limit), tiles_x, tiles_y,
+                             impl)
 
 
 @partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))

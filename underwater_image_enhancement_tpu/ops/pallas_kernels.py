@@ -164,23 +164,25 @@ def _clahe_apply_kernel(vals_ref, luts_ref, ya_ref, xa_ref, out_ref):
 
 def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
                 th: int, tw: int, by: int, bx: int) -> jnp.ndarray:
-    """Map + interpolate a half-tile-padded image through band-block LUTs.
+    """Map + interpolate half-tile-padded image(s) through band-block LUTs.
 
-    xp2: (by*th, bx*tw) i32 padded image (histeq.clahe_u8's layout);
-    luts4: (by*bx, 4, 256) f32 — the TL/TR/BL/BR tile LUT per band-block;
-    ya_np/xa_np: host numpy f32 interpolation fractions in the BAND-BLOCK
-    frame, shapes (by*th,) and (bx*tw,) — i.e. the crop-frame OpenCV weights
-    shifted by the half-tile offsets so index 0 is the first padded row/col.
-    Returns (by*th, bx*tw) i32 mapped+interpolated (crop on the caller side).
+    xp2: (B, by*th, bx*tw) i32 padded images (histeq.clahe_u8's layout; B
+    may be 1); luts4: (B*by*bx, 4, 256) f32 — the TL/TR/BL/BR tile LUT per
+    band-block; ya_np/xa_np: host numpy f32 interpolation fractions in the
+    BAND-BLOCK frame, shapes (by*th,) and (bx*tw,) — i.e. the crop-frame
+    OpenCV weights shifted by the half-tile offsets so index 0 is the first
+    padded row/col (shared across the batch: tiling depends only on H, W).
+    Returns (B, by*th, bx*tw) i32 mapped+interpolated (caller crops).
     """
     import numpy as _np
 
     twp = -(-tw // 128) * 128
-    B = by * bx
+    B = xp2.shape[0]
+    NB = by * bx
     blocks = (
-        xp2.reshape(by, th, bx, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(B, th, tw)
+        xp2.reshape(B, by, th, bx, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B * NB, th, tw)
     )
     if twp != tw:
         blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, twp - tw)))
@@ -193,27 +195,30 @@ def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
 
     out = pl.pallas_call(
         _clahe_apply_kernel,
-        grid=(by, bx),
+        grid=(B, by, bx),
         in_specs=[
-            pl.BlockSpec((1, th, twp), lambda i, j: (i * bx + j, 0, 0),
+            pl.BlockSpec((1, th, twp),
+                         lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 256), lambda i, j: (i * bx + j, 0, 0),
+            pl.BlockSpec((1, 4, 256),
+                         lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, th, 1), lambda b, i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, twp), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, 1, twp), lambda b, i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, twp), lambda i, j: (i * bx + j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, th, twp), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, th, twp), lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * NB, th, twp), jnp.int32),
         interpret=_interpret(),
     )(blocks, luts4, ya_b, xa_b)
     return (
         out[:, :, :tw]
-        .reshape(by, bx, th, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(by * th, bx * tw)
+        .reshape(B, by, bx, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, by * th, bx * tw)
     )
 
 
