@@ -22,9 +22,9 @@ def main() -> None:
     from underwater_image_enhancement_tpu.pipeline.enhance import enhance_batch
 
     H, W = 1080, 1920
-    N = 16          # frames per inner batch
-    K = 8           # inner repetitions (perturbed) per timed program, so the
-                    # timed work (~60-100 ms) dwarfs tunnel RTT jitter
+    N = 8           # frames per inner batch
+    K = 8           # chained repetitions per timed program, so the timed
+                    # work dwarfs tunnel RTT jitter
     REPS = 5        # timed repetitions (median reported)
 
     dev = jax.devices()[0]
@@ -41,14 +41,21 @@ def main() -> None:
     frames = make_frames(jax.random.PRNGKey(0))
     frames.block_until_ready()
 
+    # K data-dependent iterations via fori_loop: the body compiles ONCE and
+    # each round's output (re-shaped to [0.05, 0.95] and re-quantized to the
+    # u8 grid, like any decoded frame) feeds the next round's input, so the
+    # device runs K sequential full-batch enhances per dispatch.  An earlier
+    # K-times-unrolled variant kept K copies of the program's intermediates
+    # live and measured ~50% slower from the memory pressure alone.
     @jax.jit
     def run(frames):
-        acc = 0.0
-        for k in range(K):
-            out = enhance_batch(frames + k * 1e-6, 10.0, 90.0, 0.6, 1.2,
+        def body(i, x):
+            out = enhance_batch(x, 10.0, 90.0, 0.6, 1.2,
                                 stretch_mode="hist")
-            acc = acc + jnp.sum(out[:, ::256, ::256, 0])  # fold: full compute
-        return acc
+            out = jnp.clip(out, 0.0, 1.0) * 0.9 + 0.05
+            return jnp.floor(out * 255.0) / 255.0
+        x = jax.lax.fori_loop(0, K, body, frames)
+        return jnp.sum(x[:, ::256, ::256, 0])  # fold: full compute
 
     # warm up / compile
     float(run(frames))
