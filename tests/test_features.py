@@ -22,10 +22,6 @@ def test_features_match_golden(underwater_img):
     err = np.abs(got - want)
     rel = err / np.maximum(np.abs(want), 1e-3)
     tol = np.full(79, 1e-2)
-    # GLCM mean/std features (45:57): std over 4 nearly-equal angle values is
-    # hypersensitive to the ~0.2% border-row pixels where our resize differs
-    # from cv2 (ops/resize.py); absolute error there stays < 1e-3
-    tol[45:57] = 5e-2
     bad = np.where((rel > tol) & (err > 1e-3))[0]
     assert len(bad) == 0, f"features off: {bad}, got {got[bad]}, want {want[bad]}"
 
