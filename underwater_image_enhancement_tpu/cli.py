@@ -402,10 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="histogram percentiles (throughput mode, ~55dB vs exact)")
     p.add_argument("--batch-size", type=int, default=1,
                    help="images per vmapped device batch (same-shape groups)."
-                        " Default 1: the single-image six program measured"
-                        " ~17x faster PER FRAME than its vmapped batch on"
-                        " TPU (2.9 vs 51 ms at 1080p) — batch only to"
-                        " amortize host IO on small images")
+                        " Default 1: the single-image six program is faster"
+                        " per frame than its vmapped batch on TPU; batch"
+                        " only to amortize host IO on small images")
     p.set_defaults(fn=_cmd_six)
 
     p = sub.add_parser("auto", help="best-of-5-strategies per image")
