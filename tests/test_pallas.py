@@ -122,6 +122,82 @@ def test_clahe_vmap_rule_matches_per_image(rng):
                                           np.asarray(want))
 
 
+def test_sat_rows_kernel_exact(rng):
+    from underwater_image_enhancement_tpu.ops.pallas_kernels import sat_rows
+
+    for shape in [(7, 100, 130), (3, 64, 128), (1, 200, 256)]:
+        x = rng.random(shape).astype(np.float32)
+        got = np.asarray(sat_rows(jnp.asarray(x)))
+        want = np.concatenate(
+            [np.zeros((shape[0], 1, shape[2]), np.float64),
+             np.cumsum(x.astype(np.float64), axis=1)], axis=1)
+        # f64 reference within f32 prefix-sum error; the kernel's
+        # Hillis-Steele association differs from XLA's cumsum in the last
+        # bits, which is why only the fast airlight path uses it
+        np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-4)
+        # integer inputs: exact (no rounding at u8-scale prefix sums)
+        xi = rng.integers(0, 256, shape).astype(np.float32)
+        goti = np.asarray(sat_rows(jnp.asarray(xi)))
+        wanti = np.concatenate(
+            [np.zeros((shape[0], 1, shape[2]), np.float64),
+             np.cumsum(xi.astype(np.float64), axis=1)], axis=1)
+        np.testing.assert_array_equal(goti, wanti.astype(np.float32))
+
+
+def test_lab_unit_kernels_bit_identical(rng):
+    """In-kernel quantize/unit conversions == separate quantize_u8 /
+    u8_to_unit passes, including the truncation and f32-division details."""
+    from underwater_image_enhancement_tpu.ops import colorspace as cs
+
+    img = rng.random((70, 100, 3)).astype(np.float32)
+    planes = tuple(jnp.asarray(img[..., c]) for c in range(3))
+    want = cs.rgb_to_lab_u8_exact_planes(
+        *(cs.quantize_u8(p) for p in planes), impl="pallas")
+    got = cs.rgb_unit_to_lab_planes(*planes, impl="pallas")
+    for gp, wp in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+
+    lab = tuple(jnp.asarray(x) for x in
+                rng.integers(0, 256, (3, 70, 100)).astype(np.int32))
+    # the u8 ints must agree exactly; the /255 unit conversion may differ
+    # by 1 ulp between codegens (XLA rewrites jitted division to a
+    # reciprocal multiply — 126/256 u8 values differ from IEEE division)
+    want8 = cs.lab_to_rgb_u8_exact_planes(*lab, impl="pallas")
+    gotr = cs.lab_to_rgb_unit_planes(*lab, impl="pallas")
+    for gp, wp in zip(gotr, want8):
+        g255 = np.rint(np.asarray(gp) * 255.0).astype(np.int64)
+        np.testing.assert_array_equal(g255, np.asarray(wp))
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(wp).astype(np.float64) / 255.0,
+            rtol=0, atol=1e-7)
+
+
+def test_clahe_lab_fused_bit_identical(rng):
+    """Fused CLAHE+inverse-LAB pass == split clahe_u8 + lab_to_rgb,
+    single image and vmapped."""
+    import jax
+    from underwater_image_enhancement_tpu.ops.histeq import (
+        clahe_enhancement_planes)
+
+    for shape in [(90, 121), (128, 128)]:
+        imgs = rng.random((2,) + shape + (3,)).astype(np.float32)
+        planes = tuple(jnp.asarray(imgs[0, ..., c]) for c in range(3))
+        want = clahe_enhancement_planes(planes, 3.0, impl="split")
+        got = clahe_enhancement_planes(planes, 3.0, impl="fused")
+        for gp, wp in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+        # vmapped: the custom_vmap rule folds the batch into the block grid
+        f = jax.vmap(lambda im: jnp.stack(clahe_enhancement_planes(
+            tuple(im[..., c] for c in range(3)), 3.0, impl="fused"), -1))
+        gotb = np.asarray(f(jnp.asarray(imgs)))
+        for bi in range(2):
+            planes_i = tuple(jnp.asarray(imgs[bi, ..., c]) for c in range(3))
+            want_i = np.stack([np.asarray(p) for p in
+                               clahe_enhancement_planes(planes_i, 3.0,
+                                                        impl="split")], -1)
+            np.testing.assert_array_equal(gotb[bi], want_i)
+
+
 def test_clahe_pallas_impl_bit_identical(rng):
     from underwater_image_enhancement_tpu.ops.histeq import clahe_u8
 

@@ -380,6 +380,36 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
     return clip(L), clip(a), clip(b)
 
 
+def rgb_unit_to_lab_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
+                           impl: str = "auto"):
+    """quantize_u8 + bit-exact RGB2LAB on float unit planes.  On TPU the
+    quantize (clip + truncate) runs INSIDE the forward kernel, skipping the
+    int32 planes' HBM roundtrip; identical outputs on every path."""
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" and r.ndim == 2
+                else "xla")
+    if impl == "pallas" and r.ndim == 2:
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        return pk.lab_forward_planes_unit(r, g, b_)
+    return rgb_to_lab_u8_exact_planes(
+        quantize_u8(r), quantize_u8(g), quantize_u8(b_), impl=impl)
+
+
+def lab_to_rgb_unit_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                           impl: str = "auto"):
+    """Bit-exact LAB2RGB + u8_to_unit, fused in-kernel on TPU."""
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" and L.ndim == 2
+                else "xla")
+    if impl == "pallas" and L.ndim == 2:
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        return pk.lab_inverse_planes_unit(L, a, b)
+    return tuple(u8_to_unit(c)
+                 for c in lab_to_rgb_u8_exact_planes(L, a, b, impl=impl))
+
+
 def _ctrunc_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
     """C/C++ integer division (truncates toward zero; ints can be negative).
 

@@ -122,22 +122,30 @@ def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.nd
     return jnp.clip(_round_half_even(cdf * lut_scale), 0, 255).astype(jnp.int32)
 
 
-def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
-                      tiles_x: int, tiles_y: int, impl: str) -> jnp.ndarray:
-    """cv2 CLAHE on (B, H, W) uint8-valued int32 planes, bit-exact.
-
-    The batch dim folds into the tile/band-block axes, so B images cost the
-    same program SHAPE as one image with B x the blocks — this is also the
-    custom_vmap rule for clahe_u8 (a vmapped one-hot-matmul formulation
-    measured pathological: the batched intermediates spill to HBM).
-    """
+def _pad_bands(xb: jnp.ndarray, tiles_x: int, tiles_y: int):
+    """(B, H, W) -> half-tile-padded band-block frame (B, by*th, bx*tw):
+    REFLECT_101 to tile multiples, then edge-pad by a half tile so the
+    "which 4 LUTs" partition becomes a uniform (tiles+1)-band grid."""
     Bn, H, W = xb.shape
-    th = -(-H // tiles_y)  # tile height on the padded image
+    th = -(-H // tiles_y)
     tw = -(-W // tiles_x)
-    pad_b = th * tiles_y - H
-    pad_r = tw * tiles_x - W
-    x = jnp.pad(xb, ((0, 0), (0, pad_b), (0, pad_r)), mode="reflect")
-    Hp, Wp = th * tiles_y, tw * tiles_x
+    x = jnp.pad(xb, ((0, 0), (0, th * tiles_y - H), (0, tw * tiles_x - W)),
+                mode="reflect")
+    pt, plf = th // 2, tw // 2
+    xp2 = jnp.pad(x, ((0, 0), (pt, th - pt), (plf, tw - plf)), mode="edge")
+    return x, xp2, th, tw, pt, plf
+
+
+def _clahe_prep(xb: jnp.ndarray, clip_limit: float,
+                tiles_x: int, tiles_y: int):
+    """Shared CLAHE front half: padding, per-tile LUTs, band-block LUT
+    gather, OpenCV f32 interpolation weights.  xb: (B, H, W) i32."""
+    import numpy as _np
+
+    Bn, H, W = xb.shape
+    x, xp2, th, tw, pt, plf = _pad_bands(xb, tiles_x, tiles_y)
+    by, bx = tiles_y + 1, tiles_x + 1
+    NB = by * bx
 
     T = tiles_y * tiles_x
     tiles = (
@@ -147,23 +155,7 @@ def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
     )
     luts = _clahe_luts(tiles, th * tw, clip_limit).reshape(Bn, T, 256)
 
-    # --- Bilinear interpolation between the 4 surrounding tile LUTs ---
-    # Per-pixel scalar gathers are pathological on TPU (~60 ms at 1080p), so
-    # the lookup is reformulated per band-block: pad the image by a half tile
-    # on each side so the "which 4 LUTs" partition becomes a uniform
-    # (2*tiles+1)-band grid; each band-block references 4 FIXED LUTs.
-    pt = th // 2            # rows with ty1 == -1 number ceil(th/2)
-    pb = th - pt
-    plf = tw // 2
-    prt = tw - plf
-    by = tiles_y + 1        # number of uniform row bands after padding
-    bx = tiles_x + 1
-    NB = by * bx
-    xp2 = jnp.pad(x, ((0, 0), (pt, pb), (plf, prt)), mode="edge")
-
     # the 4 fixed LUT ids per band-block (static python ints, same per image)
-    import numpy as _np
-
     r1 = _np.clip(_np.arange(by) - 1, 0, tiles_y - 1)
     r2 = _np.clip(_np.arange(by), 0, tiles_y - 1)
     c1 = _np.clip(_np.arange(bx) - 1, 0, tiles_x - 1)
@@ -179,26 +171,45 @@ def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
     ).reshape(NB, 4)
     luts4 = luts[:, jnp.asarray(ids)]  # (Bn, NB, 4, 256) — row gather, cheap
 
+    # band-block-frame OpenCV f32 weights: index 0 = first PADDED row/col,
+    # i.e. crop-frame coordinate -pt (resp. -plf)
+    f32 = _np.float32
+    tyf = (_np.arange(-pt, by * th - pt, dtype=f32) * f32(1.0 / th)
+           - f32(0.5)).astype(f32)
+    txf = (_np.arange(-plf, bx * tw - plf, dtype=f32) * f32(1.0 / tw)
+           - f32(0.5)).astype(f32)
+    ya_np = (tyf - _np.floor(tyf)).astype(f32)
+    xa_np = (txf - _np.floor(txf)).astype(f32)
+    return xp2, luts4, ya_np, xa_np, th, tw, by, bx, pt, plf
+
+
+def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
+                      tiles_x: int, tiles_y: int, impl: str) -> jnp.ndarray:
+    """cv2 CLAHE on (B, H, W) uint8-valued int32 planes, bit-exact.
+
+    The batch dim folds into the tile/band-block axes, so B images cost the
+    same program SHAPE as one image with B x the blocks — this is also the
+    custom_vmap rule for clahe_u8 (a vmapped one-hot-matmul formulation
+    measured pathological: the batched intermediates spill to HBM).
+    """
+    import numpy as _np
+
+    Bn, H, W = xb.shape
+    xp2, luts4, ya_np, xa_np, th, tw, by, bx, pt, plf = _clahe_prep(
+        xb, clip_limit, tiles_x, tiles_y)
+    Hp, Wp = th * tiles_y, tw * tiles_x
+    NB = by * bx
+
     from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         # one fused VMEM pass per band-block: LUT lane-gathers + OpenCV f32
-        # bilinear arithmetic (pallas_kernels.clahe_apply, bit-identical).
-        # Band-block-frame OpenCV f32 weights: index 0 = first PADDED
-        # row/col, i.e. crop-frame coordinate -pt (resp. -plf); entries at
-        # negative coordinates are cropped below, any value is fine there
-        f32 = _np.float32
-        tyf = (_np.arange(-pt, by * th - pt, dtype=f32) * f32(1.0 / th)
-               - f32(0.5)).astype(f32)
-        txf = (_np.arange(-plf, bx * tw - plf, dtype=f32) * f32(1.0 / tw)
-               - f32(0.5)).astype(f32)
+        # bilinear arithmetic (pallas_kernels.clahe_apply, bit-identical)
         out = pk.clahe_apply(
             xp2, luts4.reshape(Bn * NB, 4, 256).astype(jnp.float32),
-            (tyf - _np.floor(tyf)).astype(f32),
-            (txf - _np.floor(txf)).astype(f32),
-            th, tw, by, bx,
+            ya_np, xa_np, th, tw, by, bx,
         )
         return out[:, pt:pt + H, plf:plf + W]
 
@@ -318,6 +329,57 @@ def clahe_u8_batch(batch_u8: jnp.ndarray, clip_limit: float = 2.0,
                              impl)
 
 
+def _clahe_lab_fused_batched(Lb, ab, bb, clip_limit: float,
+                             tiles_x: int, tiles_y: int):
+    """CLAHE(L) + inverse LAB as one fused Pallas pass (TPU throughput
+    path): the a/b planes ride along in the same band-block frame so the
+    mapped L' never round-trips HBM.  (B, H, W) i32 x3 -> (r, g, b) i32.
+    Bit-identical to clahe_u8 + lab_to_rgb_u8_exact_planes."""
+    from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+    Bn, H, W = Lb.shape
+    xp2, luts4, ya_np, xa_np, th, tw, by, bx, pt, plf = _clahe_prep(
+        Lb, clip_limit, tiles_x, tiles_y)
+    _, ap2, _, _, _, _ = _pad_bands(ab, tiles_x, tiles_y)
+    _, bp2, _, _, _, _ = _pad_bands(bb, tiles_x, tiles_y)
+    r, g, b = pk.clahe_lab_apply(
+        xp2, ap2, bp2,
+        luts4.reshape(Bn * by * bx, 4, 256).astype(jnp.float32),
+        ya_np, xa_np, th, tw, by, bx,
+    )
+    crop = lambda x: x[:, pt:pt + H, plf:plf + W]
+    return crop(r), crop(g), crop(b)
+
+
+_FUSED_CV_CACHE: dict = {}
+
+
+def _clahe_lab_fused_cv(clip_limit: float, tiles_x: int, tiles_y: int):
+    key = (clip_limit, tiles_x, tiles_y)
+    if key not in _FUSED_CV_CACHE:
+
+        @jax.custom_batching.custom_vmap
+        def f(L, a, b):
+            out = _clahe_lab_fused_batched(L[None], a[None], b[None],
+                                           clip_limit, tiles_x, tiles_y)
+            return tuple(o[0] for o in out)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, L, a, b):
+            args = tuple(
+                x if bt else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, bt in zip((L, a, b), in_batched))
+            lead = args[0].shape[:-2]
+            flat = tuple(x.reshape((-1,) + x.shape[-2:]) for x in args)
+            out = _clahe_lab_fused_batched(*flat, clip_limit, tiles_x,
+                                           tiles_y)
+            return (tuple(o.reshape(lead + o.shape[-2:]) for o in out),
+                    (True, True, True))
+
+        _FUSED_CV_CACHE[key] = f
+    return _FUSED_CV_CACHE[key]
+
+
 @partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
 def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
                       tiles_x: int = 8, tiles_y: int = 8) -> jnp.ndarray:
@@ -329,12 +391,25 @@ def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
 
 
 def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
-                             tiles_x: int = 8, tiles_y: int = 8):
+                             tiles_x: int = 8, tiles_y: int = 8,
+                             impl: str = "auto"):
     """Channel-first LAB-L CLAHE roundtrip: (r, g, b) float planes -> same.
     Identical arithmetic to clahe_enhancement (bit-exact vs cv2); avoids
-    channel-minor NHWC tensors in composed programs."""
-    r8, g8, b8 = (cs.quantize_u8(p) for p in planes)
-    L, a, b = cs.rgb_to_lab_u8_exact_planes(r8, g8, b8)
+    channel-minor NHWC tensors in composed programs.
+
+    impl: "fused" runs CLAHE apply + inverse LAB as ONE Pallas pass
+    (pallas_kernels.clahe_lab_apply — bit-identical); "split" is clahe_u8 +
+    lab_to_rgb.  "auto" = split: the fused pass measured SLOWER on v5e
+    (1.45 vs 1.20 ms/leg at 1080p) because the inverse arithmetic — the
+    expensive half — runs on the band-block frame's ~35% padding overhead
+    instead of the cropped plane; kept as an option + bit-identity test.
+    On TPU the quantize/unit conversions run inside the LAB kernels."""
+    L, a, b = cs.rgb_unit_to_lab_planes(*planes)
+    if impl == "auto":
+        impl = "split"
+    if impl == "fused" and L.ndim == 2:
+        rgb = _clahe_lab_fused_cv(float(clip_limit), tiles_x, tiles_y)(
+            L, a, b)
+        return tuple(cs.u8_to_unit(c) for c in rgb)
     L = clahe_u8(L, clip_limit, tiles_x, tiles_y)
-    rgb = cs.lab_to_rgb_u8_exact_planes(L, a, b)
-    return tuple(cs.u8_to_unit(c) for c in rgb)
+    return cs.lab_to_rgb_unit_planes(L, a, b)

@@ -222,6 +222,171 @@ def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
     )
 
 
+def _make_cumsum_rows_kernel(H: int):
+    def kernel(x_ref, o_ref):
+        c = x_ref[0]                              # (H, 128)
+        # Hillis-Steele doubling: jnp.cumsum has no Mosaic lowering, and
+        # this matches XLA's doubling association (gated bit-equal vs the
+        # XLA cumsum in tests/test_pallas.py on both backends).
+        shift = 1
+        while shift < H:
+            z = jnp.zeros((shift, c.shape[1]), c.dtype)
+            c = c + jnp.concatenate([z, c[:-shift]], axis=0)
+            shift *= 2
+        o_ref[0, :1, :] = jnp.zeros((1, c.shape[1]), c.dtype)
+        o_ref[0, 1:, :] = c
+
+    return kernel
+
+
+def sat_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-prefix table with a leading zero row: (P, H, W) f32 ->
+    (P, H+1, W), one VMEM pass per (plane, 128-lane) column block.
+
+    XLA's log-doubling cumsum re-reads the full stack ~log2(H) times from
+    HBM (~0.7 ms for the quadtree's (7, 1080, 1920) stats); here each
+    block loads once, scans in VMEM, stores once (~0.15 ms)."""
+    P, H, W = x.shape
+    Wp = -(-W // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W))) if Wp != W else x
+    out = pl.pallas_call(
+        _make_cumsum_rows_kernel(H),
+        grid=(P, Wp // 128),
+        in_specs=[pl.BlockSpec((1, H, 128), lambda p, j: (p, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H + 1, 128), lambda p, j: (p, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, H + 1, Wp), x.dtype),
+        interpret=_interpret(),
+    )(xp)
+    return out[:, :, :W] if Wp != W else out
+
+
+def _clahe_lab_kernel(vals_ref, a_ref, b_ref, luts_ref, ya_ref, xa_ref,
+                      l2yf_ref, ig_ref, r_ref, g_ref, bb_ref):
+    """CLAHE apply + bilinear interp + inverse LAB in ONE VMEM pass.
+
+    Same arithmetic as _clahe_apply_kernel followed by _lab_inv_kernel on
+    the mapped L and the ride-along a/b band-blocks — the fused form skips
+    one HBM roundtrip of the L' plane and one kernel launch per CLAHE leg.
+    """
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+    from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
+
+    vals = jnp.clip(vals_ref[0], 0, 255)
+    th, twp = vals.shape
+    mapped = []
+    for k in range(4):
+        t0 = jnp.broadcast_to(luts_ref[0, k, :128][None, :], (th, 128))
+        t1 = jnp.broadcast_to(luts_ref[0, k, 128:][None, :], (th, 128))
+        cols = [
+            _lut_lookup_128(t0, t1, vals[:, c:c + 128])
+            for c in range(0, twp, 128)
+        ]
+        mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
+                      else cols[0])
+    xa = xa_ref[0]
+    xa1 = jnp.float32(1.0) - xa
+    ya = ya_ref[0]
+    ya1 = jnp.float32(1.0) - ya
+    top = mapped[0] * xa1 + mapped[1] * xa
+    bot = mapped[2] * xa1 + mapped[3] * xa
+    v = top * ya1 + bot * ya
+    L = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
+
+    l2yf = l2yf_ref[...]
+    ig = ig_ref[...]
+    a = a_ref[0]
+    b = b_ref[0]
+    word = _seg_gather(l2yf, L, 2)
+    y = word & 0xFFFF
+    ify = (word >> 16) & 0xFFFF
+    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
+    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
+
+    def ab_to_xz(vv):
+        vv = jnp.clip(vv, lt.MIN_AB, lt.BASE * 9 // 4)
+        lin = _ctrunc_div(vv * 108, 841) - lt.AB_LIN_K
+        cub = _ctrunc_div(_ctrunc_div(vv * vv, lt.BASE) * vv, lt.BASE)
+        return jnp.where(vv <= lt.AB_LIN_THRESH, lin, cub)
+
+    x = ab_to_xz(ify + adiv)
+    zz = ab_to_xz(ify - bdiv)
+    C = lt.COEFFS_INV
+    outs = (r_ref, g_ref, bb_ref)
+    for ch in range(3):
+        idx = _descale(
+            x * int(C[ch, 0]) + y * int(C[ch, 1]) + zz * int(C[ch, 2]), 14)
+        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
+        w = _seg_gather(ig, idx >> 2, 8)
+        outs[ch][0] = (w >> ((idx & 3) << 3)) & 0xFF
+
+
+def clahe_lab_apply(Lp2, ap2, bp2, luts4, ya_np, xa_np,
+                    th: int, tw: int, by: int, bx: int):
+    """Fused band-block CLAHE apply + inverse LAB.
+
+    Lp2/ap2/bp2: (B, by*th, bx*tw) i32 half-tile-padded L/a/b planes in
+    clahe's band-block frame (same padding for all three); luts4:
+    (B*by*bx, 4, 256) f32.  Returns (r, g, b) planes (B, by*th, bx*tw)
+    i32 (caller crops).  Bit-identical to clahe_apply followed by
+    lab_inverse_planes (gated by tests/test_pallas.py)."""
+    import numpy as _np
+
+    twp = -(-tw // 128) * 128
+    B = Lp2.shape[0]
+    NB = by * bx
+
+    def block(x):
+        blk = (x.reshape(B, by, th, bx, tw)
+               .transpose(0, 1, 3, 2, 4)
+               .reshape(B * NB, th, tw))
+        if twp != tw:
+            blk = jnp.pad(blk, ((0, 0), (0, 0), (0, twp - tw)))
+        return blk
+
+    Lb, ab, bb = block(Lp2), block(ap2), block(bp2)
+    ya_b = jnp.asarray(
+        _np.asarray(ya_np, _np.float32).reshape(by, th, 1))
+    xa_b = _np.asarray(xa_np, _np.float32).reshape(bx, 1, tw)
+    if twp != tw:
+        xa_b = _np.pad(xa_b, ((0, 0), (0, 0), (0, twp - tw)))
+    xa_b = jnp.asarray(xa_b)
+    l2yf, ig = _lab_inv_tables()
+
+    blk_spec = pl.BlockSpec(
+        (1, th, twp), lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
+        memory_space=pltpu.VMEM)
+    tab = lambda s: pl.BlockSpec((s, 128), lambda b, i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    r, g, bb_out = pl.pallas_call(
+        _clahe_lab_kernel,
+        grid=(B, by, bx),
+        in_specs=[
+            blk_spec, blk_spec, blk_spec,
+            pl.BlockSpec((1, 4, 256),
+                         lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, 1), lambda b, i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, twp), lambda b, i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tab(2), tab(8),
+        ],
+        out_specs=[blk_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B * NB, th, twp), jnp.int32)] * 3,
+        interpret=_interpret(),
+    )(Lb, ab, bb, luts4, ya_b, xa_b, jnp.asarray(l2yf), jnp.asarray(ig))
+
+    def unblock(x):
+        return (x[:, :, :tw]
+                .reshape(B, by, bx, th, tw)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, by * th, bx * tw))
+
+    return unblock(r), unblock(g), unblock(bb_out)
+
+
 # ---------------------------------------------------------------------------
 # Bit-exact LAB legs as fused VMEM kernels
 # ---------------------------------------------------------------------------
@@ -240,7 +405,13 @@ def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
 def _seg_gather(tab_ref_row, idx: jnp.ndarray, segments: int) -> jnp.ndarray:
     """Gather ``flat_table[idx]`` where the flat table is laid out as
     (segments, 128) rows of ``tab_ref_row`` (a loaded (S, 128) array).
-    idx: (H, 128) i32, pre-clipped to [0, segments*128)."""
+    idx: (H, n*128) i32, pre-clipped to [0, segments*128).  Mosaic's
+    lane-gather requires 128-wide indices, so wider blocks chunk over
+    columns."""
+    if idx.shape[1] != 128:
+        cols = [_seg_gather(tab_ref_row, idx[:, c:c + 128], segments)
+                for c in range(0, idx.shape[1], 128)]
+        return jnp.concatenate(cols, axis=1)
     H = idx.shape[0]
     lane = idx & 127
     if segments == 1:
@@ -259,32 +430,43 @@ def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
     return (v + (1 << (n - 1))) >> n
 
 
-def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, cbrt_ref,
-                    L_ref, a_ref, bb_ref):
-    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+def _make_lab_fwd_kernel(unit_in: bool):
+    def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, cbrt_ref,
+                        L_ref, a_ref, bb_ref):
+        from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
-    gam = gam_ref[...]     # (2, 128) i32
-    cbrt = cbrt_ref[...]   # (12, 128) i32, two 16-bit entries per word
-    R = _seg_gather(gam, jnp.clip(r_ref[...], 0, 255), 2)
-    G = _seg_gather(gam, jnp.clip(g_ref[...], 0, 255), 2)
-    B = _seg_gather(gam, jnp.clip(b_ref[...], 0, 255), 2)
-    C = lt.COEFFS
+        if unit_in:
+            # colorspace.quantize_u8 semantics in-kernel: clip + TRUNCATE
+            q = lambda v: jnp.clip(v * jnp.float32(255.0),
+                                   0.0, 255.0).astype(jnp.int32)
+        else:
+            q = lambda v: jnp.clip(v, 0, 255)
+        gam = gam_ref[...]     # (2, 128) i32
+        cbrt = cbrt_ref[...]   # (12, 128) i32, two 16-bit entries per word
+        R = _seg_gather(gam, q(r_ref[...]), 2)
+        G = _seg_gather(gam, q(g_ref[...]), 2)
+        B = _seg_gather(gam, q(b_ref[...]), 2)
+        C = lt.COEFFS
 
-    def cbrt_lookup(row):
-        acc = (R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2]))
-        idx = jnp.clip(_descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
-        word = _seg_gather(cbrt, idx >> 1, 12)
-        return (word >> ((idx & 1) << 4)) & 0xFFFF
+        def cbrt_lookup(row):
+            acc = (R * int(C[row, 0]) + G * int(C[row, 1])
+                   + B * int(C[row, 2]))
+            idx = jnp.clip(_descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
+            word = _seg_gather(cbrt, idx >> 1, 12)
+            return (word >> ((idx & 1) << 4)) & 0xFFFF
 
-    fX = cbrt_lookup(0)
-    fY = cbrt_lookup(1)
-    fZ = cbrt_lookup(2)
-    clip = lambda v: jnp.clip(v, 0, 255)
-    L_ref[...] = clip(_descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2))
-    a_ref[...] = clip(_descale(500 * (fX - fY) + (128 << lt.LAB_SHIFT2),
-                               lt.LAB_SHIFT2))
-    bb_ref[...] = clip(_descale(200 * (fY - fZ) + (128 << lt.LAB_SHIFT2),
-                                lt.LAB_SHIFT2))
+        fX = cbrt_lookup(0)
+        fY = cbrt_lookup(1)
+        fZ = cbrt_lookup(2)
+        clip = lambda v: jnp.clip(v, 0, 255)
+        L_ref[...] = clip(_descale(lt.L_SCALE * fY + lt.L_SHIFT,
+                                   lt.LAB_SHIFT2))
+        a_ref[...] = clip(_descale(500 * (fX - fY) + (128 << lt.LAB_SHIFT2),
+                                   lt.LAB_SHIFT2))
+        bb_ref[...] = clip(_descale(200 * (fY - fZ) + (128 << lt.LAB_SHIFT2),
+                                    lt.LAB_SHIFT2))
+
+    return _lab_fwd_kernel
 
 
 _LAB_TABS: dict = {}
@@ -315,39 +497,48 @@ def _lab_fwd_tables():
     return _LAB_TABS["fwd"]
 
 
-def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, ig_ref,
-                    r_ref, g_ref, bb_ref):
-    from underwater_image_enhancement_tpu.ops import lab_tables as lt
-    from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
+def _make_lab_inv_kernel(unit_out: bool):
+    def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, ig_ref,
+                        r_ref, g_ref, bb_ref):
+        from underwater_image_enhancement_tpu.ops import lab_tables as lt
+        from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
 
-    l2yf = l2yf_ref[...]   # (2, 128) i32: y | (ify << 16), both < 2^15
-    ig = ig_ref[...]       # (8, 128) i32: four u8 INV_GAMMA entries per word
-    L = jnp.clip(L_ref[...], 0, 255)
-    a = a_ref[...]
-    b = b_ref[...]
-    word = _seg_gather(l2yf, L, 2)
-    y = word & 0xFFFF
-    ify = (word >> 16) & 0xFFFF
+        l2yf = l2yf_ref[...]   # (2, 128) i32: y | (ify << 16), both < 2^15
+        ig = ig_ref[...]       # (8, 128) i32: 4 u8 INV_GAMMA entries per word
+        L = jnp.clip(L_ref[...], 0, 255)
+        a = a_ref[...]
+        b = b_ref[...]
+        word = _seg_gather(l2yf, L, 2)
+        y = word & 0xFFFF
+        ify = (word >> 16) & 0xFFFF
 
-    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
-    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
+        adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
+        bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
 
-    def ab_to_xz(v):
-        v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
-        lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
-        cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
-        return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
+        def ab_to_xz(v):
+            v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
+            lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
+            cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
+            return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
 
-    x = ab_to_xz(ify + adiv)
-    z = ab_to_xz(ify - bdiv)
-    C = lt.COEFFS_INV
-    outs = (r_ref, g_ref, bb_ref)
-    for ch in range(3):
-        idx = _descale(
-            x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]), 14)
-        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
-        w = _seg_gather(ig, idx >> 2, 8)
-        outs[ch][...] = (w >> ((idx & 3) << 3)) & 0xFF
+        x = ab_to_xz(ify + adiv)
+        z = ab_to_xz(ify - bdiv)
+        C = lt.COEFFS_INV
+        outs = (r_ref, g_ref, bb_ref)
+        for ch in range(3):
+            idx = _descale(
+                x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]),
+                14)
+            idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
+            w = _seg_gather(ig, idx >> 2, 8)
+            v8 = (w >> ((idx & 3) << 3)) & 0xFF
+            if unit_out:
+                # colorspace.u8_to_unit semantics: f32 DIVISION by 255
+                outs[ch][...] = v8.astype(jnp.float32) / jnp.float32(255.0)
+            else:
+                outs[ch][...] = v8
+
+    return _lab_inv_kernel
 
 
 def _lab_inv_tables():
@@ -369,28 +560,50 @@ def _lab_inv_tables():
 TILE_LAB = 128  # rows per grid step for the plane-wise LAB kernels
 
 
-@jax.custom_batching.custom_vmap
-def _lab_forward_planes(r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray):
-    H, W = r8.shape
+def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
+    """Shared launch for the plane-wise LAB kernels: pad to (TILE_LAB, 128)
+    tiles, run, crop."""
+    H, W = inputs[0].shape
     Hp = -(-H // TILE_LAB) * TILE_LAB
     Wp = -(-W // 128) * 128
     pads = ((0, Hp - H), (0, Wp - W))
-    rp, gp, bp = (jnp.pad(p.astype(jnp.int32), pads) for p in (r8, g8, b8))
-    gam, cbrt = _lab_fwd_tables()
+    padded = tuple(jnp.pad(p.astype(in_dtype), pads) for p in inputs)
     grid = (Hp // TILE_LAB, Wp // 128)
     img_spec = pl.BlockSpec((TILE_LAB, 128), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     tab = lambda s: pl.BlockSpec((s, 128), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
-    L, a, b = pl.pallas_call(
-        _lab_fwd_kernel,
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[img_spec, img_spec, img_spec, tab(2), tab(12)],
+        in_specs=[img_spec] * len(padded) + [tab(t.shape[0]) for t in tables],
         out_specs=[img_spec, img_spec, img_spec],
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), out_dtype)] * 3,
         interpret=_interpret(),
-    )(rp, gp, bp, jnp.asarray(gam), jnp.asarray(cbrt))
-    return L[:H, :W], a[:H, :W], b[:H, :W]
+    )(*padded, *(jnp.asarray(t) for t in tables))
+    return tuple(o[:H, :W] for o in outs)
+
+
+def _make_lab_forward(unit_in: bool):
+    @jax.custom_batching.custom_vmap
+    def fwd(r, g, b):
+        return _lab_plane_call(
+            _make_lab_fwd_kernel(unit_in), (r, g, b), _lab_fwd_tables(),
+            jnp.float32 if unit_in else jnp.int32, jnp.int32)
+
+    _pointwise_flatten_vmap(fwd)
+    return jax.jit(fwd)
+
+
+def _make_lab_inverse(unit_out: bool):
+    @jax.custom_batching.custom_vmap
+    def inv(L, a, b):
+        return _lab_plane_call(
+            _make_lab_inv_kernel(unit_out), (L, a, b), _lab_inv_tables(),
+            jnp.int32, jnp.float32 if unit_out else jnp.int32)
+
+    _pointwise_flatten_vmap(inv)
+    return jax.jit(inv)
 
 
 def _pointwise_flatten_vmap(fn):
@@ -411,8 +624,7 @@ def _pointwise_flatten_vmap(fn):
     return fn
 
 
-_pointwise_flatten_vmap(_lab_forward_planes)
-lab_forward_planes = jax.jit(_lab_forward_planes)
+lab_forward_planes = _make_lab_forward(False)
 lab_forward_planes.__doc__ = (
     """Bit-exact cv2 RGB2LAB on u8-valued int32 planes (H, W) -> (L, a, b).
 
@@ -421,33 +633,13 @@ lab_forward_planes.__doc__ = (
     in-VMEM lane gathers instead of arithmetic surrogates.  vmap-safe: the
     custom_vmap rule folds the batch dim into rows (pointwise map).""")
 
+lab_forward_planes_unit = _make_lab_forward(True)
+lab_forward_planes_unit.__doc__ = (
+    """rgb_to_lab on float unit planes: quantize_u8 (clip+truncate) happens
+    IN-KERNEL, saving the separate int32 quantize pass's HBM roundtrip.
+    Bit-identical to quantize_u8 + lab_forward_planes.""")
 
-@jax.custom_batching.custom_vmap
-def _lab_inverse_planes(L8: jnp.ndarray, a8: jnp.ndarray, b8: jnp.ndarray):
-    H, W = L8.shape
-    Hp = -(-H // TILE_LAB) * TILE_LAB
-    Wp = -(-W // 128) * 128
-    pads = ((0, Hp - H), (0, Wp - W))
-    Lp, ap, bp = (jnp.pad(p.astype(jnp.int32), pads) for p in (L8, a8, b8))
-    l2yf, ig = _lab_inv_tables()
-    grid = (Hp // TILE_LAB, Wp // 128)
-    img_spec = pl.BlockSpec((TILE_LAB, 128), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    tab = lambda s: pl.BlockSpec((s, 128), lambda i, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
-    r, g, b = pl.pallas_call(
-        _lab_inv_kernel,
-        grid=grid,
-        in_specs=[img_spec, img_spec, img_spec, tab(2), tab(8)],
-        out_specs=[img_spec, img_spec, img_spec],
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)] * 3,
-        interpret=_interpret(),
-    )(Lp, ap, bp, jnp.asarray(l2yf), jnp.asarray(ig))
-    return r[:H, :W], g[:H, :W], b[:H, :W]
-
-
-_pointwise_flatten_vmap(_lab_inverse_planes)
-lab_inverse_planes = jax.jit(_lab_inverse_planes)
+lab_inverse_planes = _make_lab_inverse(False)
 lab_inverse_planes.__doc__ = (
     """Bit-exact cv2 LAB2RGB on u8-valued int32 planes (H, W) -> (r, g, b).
 
@@ -455,3 +647,10 @@ lab_inverse_planes.__doc__ = (
     (OpenCV Lab2RGBinteger; table notes in lab_tables.py), with the
     L2YF/INV_GAMMA tables as packed in-VMEM lane gathers.  vmap-safe via
     the same row-folding custom_vmap rule as the forward kernel.""")
+
+lab_inverse_planes_unit = _make_lab_inverse(True)
+lab_inverse_planes_unit.__doc__ = (
+    """lab_to_rgb emitting float unit planes: the u8_to_unit f32 division
+    happens IN-KERNEL.  u8 values identical to lab_inverse_planes; the
+    /255 conversion may differ 1 ulp from a jitted XLA division (which is
+    itself a reciprocal-multiply 1 ulp off IEEE on 126/256 values).""")
