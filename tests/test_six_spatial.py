@@ -1,0 +1,68 @@
+"""Spatially-sharded six-strategy pipeline vs the single-device program.
+
+Run on the 8-virtual-device CPU mesh (conftest).  Gates:
+- strategies without a dehaze chain (4, 5, 6) must match the single-device
+  fast path almost exactly — their sharded percentile/CLAHE machinery is
+  bit-equal by construction, leaving only pow()-codegen ulps;
+- the dehaze strategies (1-3) include the psum'd-SAT airlight and the
+  halo'd fast guided filter, whose f32 association differs in the last
+  bits — gated at high PSNR.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from underwater_image_enhancement_tpu.parallel.mesh import make_mesh
+from underwater_image_enhancement_tpu.parallel.six_spatial import (
+    six_strategy_spatial)
+from underwater_image_enhancement_tpu.pipeline.enhance import (
+    SIX_ORDER, six_strategy_single)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh()
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 99.0 if mse < 1e-12 else 10.0 * np.log10(1.0 / mse)
+
+
+def test_six_spatial_matches_single_device(rng, mesh8):
+    H, W = 128, 256  # 16 rows/shard (8-aligned), 16x32 CLAHE tiles
+    img = jnp.asarray(
+        np.floor(rng.random((H, W, 3)) * 0.9 * 255.0) / 255.0 + 0.05,
+        jnp.float32)
+    img = jnp.floor(jnp.clip(img, 0, 1) * 255.0) / 255.0
+
+    got, code = six_strategy_spatial(img, mesh8)
+    want, code_w = six_strategy_single(img, fast=True)
+    assert int(code) == int(code_w)
+    got = np.asarray(got)
+    want = np.asarray(want)
+    for k, name in enumerate(SIX_ORDER):
+        p = _psnr(got[k], want[k])
+        if name in ("clahe_enhancement", "white_balance", "histogram_eq"):
+            # sharded percentiles/CLAHE are bit-equal; only pow codegen ulps
+            np.testing.assert_allclose(got[k], want[k], rtol=0, atol=1e-5,
+                                       err_msg=name)
+        else:
+            assert p > 55.0, f"{name}: PSNR {p:.1f} dB"
+
+
+def test_six_spatial_shape_and_cast(rng, mesh8):
+    H, W = 64, 128
+    # strong green cast -> code 1, scaled channel
+    img = np.stack([
+        np.full((H, W), 0.2, np.float32),
+        np.full((H, W), 0.6, np.float32),
+        np.full((H, W), 0.25, np.float32),
+    ], axis=-1)
+    img += rng.random(img.shape).astype(np.float32) * 0.05
+    out, code = six_strategy_spatial(jnp.asarray(np.clip(img, 0, 1)), mesh8)
+    assert out.shape == (6, H, W, 3)
+    assert int(code) == 1
+    assert bool(jnp.isfinite(out).all())

@@ -1,0 +1,459 @@
+"""The full six-strategy pipeline for ONE huge frame sharded across chips.
+
+Single-frame spatial parallelism is this domain's long-context analog
+(SURVEY.md §5): a 4K/8K frame is row-sharded over a `jax.sharding.Mesh`
+and the whole `six_stadigy.py` workload — cast detect/correct, quadtree
+airlight, three dehaze chains, percentile stretches, white balance, five
+CLAHE-LAB roundtrips, gammas — runs as ONE `shard_map` program whose only
+cross-chip traffic is:
+
+- `psum` of integer histograms (percentile stretch / white balance — the
+  hierarchical-histogram fast path of ops.stretch reproduced exactly, so
+  sharded percentiles are BIT-EQUAL to single-device `hist-fast`),
+- `psum` of 9 summed-area-table corners per quadtree level (airlight),
+- `pmax`/`pmin` for the brightest-pixel argmax (first-index tie rule),
+- one tiny `all_gather` of the per-tile CLAHE LUTs (64 x 256 ints),
+- `ppermute` halo exchanges for Canny (halo = hysteresis reach + sobel/NMS
+  reach, which makes the banded result EXACTLY the bounded global
+  propagation) and for the fast guided filter's subsampled box windows.
+
+Everything else is local to the shard.  Strategy recipes and constants
+mirror pipeline/six.py's fast mode (six_stadigy.py:226-285); see
+tests/test_six_spatial.py for the equality/PSNR gates vs the single-device
+program.
+
+Divisibility requirements (asserted): H % D == 0, (H/D) % 8 == 0 (aligns
+the stride-8 percentile row subsample and the s=4 guided subsample across
+shards), H % tiles == 0, W % tiles == 0, tiles % D == 0 (whole CLAHE tile
+rows per shard).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from underwater_image_enhancement_tpu.ops import colorspace as cs
+from underwater_image_enhancement_tpu.ops.airlight import _level_plan
+from underwater_image_enhancement_tpu.ops.boxfilter import _window_sum
+from underwater_image_enhancement_tpu.ops.edges import canny_u8
+from underwater_image_enhancement_tpu.ops.histeq import _clahe_luts
+from underwater_image_enhancement_tpu.ops.stretch import gamma_correction_pow
+from underwater_image_enhancement_tpu.parallel.mesh import DATA_AXIS
+
+AX = DATA_AXIS
+
+
+def _halo(block: jnp.ndarray, h: int, edge: str = "reflect101"):
+    """Ring-exchange `h` boundary rows (axis 0), multi-hop when h exceeds
+    the shard height (each hop ppermutes a full block from a farther
+    neighbor).  Global edges synthesize their halo locally: 'reflect101' =
+    rows [1..h] mirrored (numpy reflect, cv2 BORDER_DEFAULT), 'edge' =
+    row 0 / row -1 replicated (cv2 REPLICATE, the Canny border).  Fill
+    blocks for out-of-globe neighbors use the SHARD'S OWN edge rows — only
+    the true edge shards ever read them (interior shards' slices land in
+    real neighbor blocks)."""
+    n = lax.axis_size(AX)
+    idx = lax.axis_index(AX)
+    Hl = block.shape[0]
+    hops = -(-h // Hl)
+    parts = [lax.ppermute(block, AX, [(i, (i + k) % n) for i in range(n)])
+             for k in range(hops, 0, -1)]
+    parts.append(block)
+    parts += [lax.ppermute(block, AX, [(i, (i - k) % n) for i in range(n)])
+              for k in range(1, hops + 1)]
+    ext = jnp.concatenate(parts, axis=0)
+    start = hops * Hl - h
+    ext = lax.slice_in_dim(ext, start, start + Hl + 2 * h, axis=0)
+    # globe edges: rows beyond [0, H) currently hold ring-wrapped data;
+    # remap them to their reflected/replicated in-globe source, which is
+    # always inside this extension (|reflection| <= h <= extension reach)
+    Hg = Hl * n
+    s0 = idx * Hl
+    grow = s0 - h + jnp.arange(Hl + 2 * h, dtype=jnp.int32)
+    if edge == "edge":
+        src_g = jnp.clip(grow, 0, Hg - 1)
+    else:
+        src_g = jnp.where(grow < 0, -grow,
+                          jnp.where(grow > Hg - 1, 2 * (Hg - 1) - grow,
+                                    grow))
+    src_p = jnp.clip(src_g - s0 + h, 0, Hl + 2 * h - 1)
+    return ext[src_p]
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: ops.stretch._perc_pair_hist reproduced with psum'd histograms.
+# All cross-shard reductions are integer counts or min/max, so the selected
+# bin edges are BIT-EQUAL to the single-device fast path.
+# ---------------------------------------------------------------------------
+
+
+def _perc_pair_hist_sharded(ch: jnp.ndarray, l_low, l_high, n_global: int,
+                            k: int = 32, subsample: int = 8):
+    vmin = lax.pmin(jnp.min(ch), AX)
+    vmax = lax.pmax(jnp.max(ch), AX)
+    flat = (ch[::subsample, :] if subsample > 1 else ch).reshape(-1)
+    scale = (k * k - 1) / jnp.maximum(vmax - vmin, 1e-12)
+    idx = jnp.clip((flat - vmin) * scale, 0, k * k - 1)
+    hi = (idx // k).astype(jnp.int32)
+    lo = jnp.clip(idx - hi.astype(jnp.float32) * k, 0, k - 1).astype(jnp.int32)
+    bins = jnp.arange(k, dtype=jnp.int32)
+
+    h1 = lax.psum(
+        jnp.sum((hi[:, None] == bins[None, :]).astype(jnp.int32), axis=0), AX)
+    c1 = jnp.cumsum(h1)
+
+    def rank_of(pct):
+        return jnp.asarray(pct, jnp.float32) / 100.0 * (n_global - 1) + 1.0
+
+    t_lo = rank_of(l_low)
+    t_hi = rank_of(l_high)
+    b_lo = jnp.clip(jnp.sum((c1 < t_lo).astype(jnp.int32)), 0, k - 1)
+    b_hi = jnp.clip(jnp.sum((c1 < t_hi).astype(jnp.int32)), 0, k - 1)
+    below_lo = jnp.where(b_lo > 0, c1[jnp.maximum(b_lo - 1, 0)], 0)
+    below_hi = jnp.where(b_hi > 0, c1[jnp.maximum(b_hi - 1, 0)], 0)
+
+    lo_onehot = (lo[:, None] == bins[None, :]).astype(jnp.int32)
+    h2_lo = lax.psum(
+        jnp.sum(jnp.where((hi == b_lo)[:, None], lo_onehot, 0), axis=0), AX)
+    h2_hi = lax.psum(
+        jnp.sum(jnp.where((hi == b_hi)[:, None], lo_onehot, 0), axis=0), AX)
+
+    def fine(h2, below, b1, target):
+        c2 = jnp.cumsum(h2) + below
+        b2 = jnp.clip(jnp.sum((c2 < target).astype(jnp.int32)), 0, k - 1)
+        return vmin + (b1 * k + b2).astype(jnp.float32) / scale
+
+    return (fine(h2_lo, below_lo, b_lo, t_lo),
+            fine(h2_hi, below_hi, b_hi, t_hi))
+
+
+def _stretch_planes(planes, l_low, l_high, n_sub):
+    # eps 1e-6: six's strategies stretch through enhance_contrast_planes
+    out = []
+    for ch in planes:
+        p_lo, p_hi = _perc_pair_hist_sharded(ch, l_low, l_high, n_sub)
+        out.append(jnp.clip((ch - p_lo) / (p_hi - p_lo + 1e-6), 0.0, 1.0))
+    return tuple(out)
+
+
+def _wb_planes(planes, percentile, n_sub):
+    return _stretch_planes(planes, percentile, 100.0 - percentile, n_sub)
+
+
+# ---------------------------------------------------------------------------
+# Canny + quadtree airlight
+# ---------------------------------------------------------------------------
+
+
+def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Bounded-hysteresis Canny of a row-sharded u8 plane, bit-equal to the
+    global `iters`-round propagation: halo = iters + 2 covers the sobel/NMS
+    reach (2 rows) plus the longest strong->pixel chain (iters rows), so
+    every kept row sees exactly the context the global computation uses."""
+    h = iters + 2
+    ext = _halo(gray_u8, h, edge="edge")
+    e = canny_u8(ext, 50, 150, hysteresis_iters=iters, use_pallas=False)
+    return e[h:-h]
+
+
+def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 16):
+    """quadtree_airlight_planes with psum'd SAT corners.
+
+    Each shard keeps only its local row-prefix table; a corner at global
+    (r, c) is the psum of every shard's clipped local prefix masked to
+    columns < c.  The descent itself is replicated scalar state."""
+    Hl = planes[0].shape[0]
+    s0 = lax.axis_index(AX) * Hl
+    r, g, b = planes
+    gray = cs.gray_u8_planes(*(cs.quantize_u8(p) for p in planes))
+    edgemap = _canny_sharded(gray, edge_iters).astype(jnp.float32)
+    stats = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
+    lsat = jnp.pad(jnp.cumsum(stats, axis=1), ((0, 0), (1, 0), (0, 0)))
+    lanes = jnp.arange(W, dtype=jnp.int32)
+
+    def corners(rows, cols):
+        loc = jnp.clip(rows - s0, 0, Hl)                 # (3,)
+        strip = lsat[:, loc, :]                          # (7, 3, W)
+        mask = (lanes[None, :] < cols[:, None]).astype(strip.dtype)
+        part = jnp.sum(strip[:, :, None, :] * mask[None, None], axis=-1)
+        return lax.psum(part, AX)                        # (7, 3, 3)
+
+    def cond(state):
+        _, _, h, w = state
+        return (h > 1) & (w > 1)
+
+    def body(state):
+        r0, c0, h, w = state
+        mh, mw = h // 2, w // 2
+        rows = jnp.stack([r0, r0 + mh, r0 + h])
+        cols = jnp.stack([c0, c0 + mw, c0 + w])
+        grid = corners(rows, cols)
+
+        def box(ri, ci, rj, cj):
+            return (grid[:, rj, cj] - grid[:, ri, cj]
+                    - grid[:, rj, ci] + grid[:, ri, ci])
+
+        sums = jnp.stack([box(0, 0, 1, 1), box(0, 1, 1, 2),
+                          box(1, 0, 2, 1), box(1, 1, 2, 2)])
+        ns = jnp.stack([mh * mw, mh * (w - mw), (h - mh) * mw,
+                        (h - mh) * (w - mw)]).astype(jnp.float32)
+        sr, sg, sb = sums[:, 0], sums[:, 1], sums[:, 2]
+        s2r, s2g, s2b, se = sums[:, 3], sums[:, 4], sums[:, 5], sums[:, 6]
+        t1 = (sr + sg + sb) / (3.0 * ns)
+        t2 = (sb + sg - 2.0 * sr) / ns
+        var = lambda s1, s2: s2 / ns - (s1 / ns) ** 2
+        t3 = (var(sr, s2r) + var(sg, s2g) + var(sb, s2b)) / 3.0
+        qs = t1 + t2 - t3 - se / ns
+        kk = jnp.argmax(qs)
+        cand = jnp.stack([
+            jnp.stack([r0, c0, mh, mw]),
+            jnp.stack([r0, c0 + mw, mh, w - mw]),
+            jnp.stack([r0 + mh, c0, h - mh, mw]),
+            jnp.stack([r0 + mh, c0 + mw, h - mh, w - mw]),
+        ])
+        sel = cand[kk]
+        return sel[0], sel[1], sel[2], sel[3]
+
+    z = jnp.int32(0)
+    state = (z, z, jnp.int32(H), jnp.int32(W))
+    for _ in range(len(_level_plan(H, W, 1))):
+        nxt = body(state)
+        act = cond(state)
+        state = tuple(jnp.where(act, n_, s_) for n_, s_ in zip(nxt, state))
+    r0, c0, h, w = state
+
+    # brightest pixel in the final box: global argmax of r+g+b with the
+    # flattened first-index tie rule (np.argmax order)
+    rows_l = s0 + jnp.arange(Hl, dtype=jnp.int32)[:, None]
+    cols_l = jnp.arange(W, dtype=jnp.int32)[None, :]
+    inside = ((rows_l >= r0) & (rows_l < r0 + h)
+              & (cols_l >= c0) & (cols_l < c0 + w))
+    score = jnp.where(inside, r + g + b, -jnp.inf)
+    li = jnp.argmax(score)
+    lmax = score.reshape(-1)[li]
+    gmax = lax.pmax(lmax, AX)
+    gidx_cand = jnp.where(lmax == gmax,
+                          s0 * W + li.astype(jnp.int32), jnp.int32(2**31 - 1))
+    gidx = lax.pmin(gidx_cand, AX)
+    own = (gidx >= s0 * W) & (gidx < (s0 + Hl) * W)
+    lflat = jnp.clip(gidx - s0 * W, 0, Hl * W - 1)
+    vals = jnp.stack([jnp.where(own, p.reshape(-1)[lflat], 0.0)
+                      for p in planes])
+    return lax.psum(vals, AX)
+
+
+# ---------------------------------------------------------------------------
+# Fast guided filter + dehaze chain
+# ---------------------------------------------------------------------------
+
+
+def _box_rows_sharded(stack, ry: int, rx: int, rows_out: int):
+    """Mean over a (ry rows x rx cols) window of (rows, C, W) row-sharded
+    planes, cv2 REFLECT_101 borders — the box_filter kernel with the row
+    pad coming from a halo exchange."""
+    h = ry
+    ext = _halo(stack, h)                       # (rows + 2h, C, W)
+    pxl, pxh = rx // 2, rx - 1 - rx // 2
+    ext = jnp.pad(ext, ((0, 0), (0, 0), (pxl, pxh)), mode="reflect")
+    s = _window_sum(_window_sum(ext, ry, 0), rx, 2)
+    start = h - ry // 2
+    return lax.dynamic_slice_in_dim(s, start, rows_out, axis=0) / float(ry * rx)
+
+
+def _guided_fast_sharded(I, p, r: int, eps: float, s: int = 4):
+    """ops.guided.guided_filter_fast on row shards: subsample rows locally
+    (global stride alignment guaranteed by the Hl % s == 0 requirement),
+    box the linear model on the subsampled grid with halo'd windows,
+    repeat-upsample locally."""
+    Hl = I.shape[0]
+    Is, ps = I[::s], p[::s]
+    rs = max(r // s, 2)
+    st = jnp.stack([Is, ps, Is * ps, Is * Is], axis=1)  # (hs, 4, W)
+    m = _box_rows_sharded(st, rs, r, Is.shape[0])
+    mean_i, mean_p = m[:, 0], m[:, 1]
+    cov = m[:, 2] - mean_i * mean_p
+    var = m[:, 3] - mean_i * mean_i
+    a = cov / (var + eps)
+    b = mean_p - a * mean_i
+    mab = _box_rows_sharded(jnp.stack([a, b], axis=1), rs, r, a.shape[0])
+    up = jnp.repeat(mab, s, axis=0)[:Hl]
+    return up[:, 0] * I + up[:, 1]
+
+
+def _restore_sharded(planes, A, omega, r: int, eps: float):
+    dark = jnp.minimum(
+        jnp.minimum(planes[0] / (A[0] + 1e-6), planes[1] / (A[1] + 1e-6)),
+        planes[2] / (A[2] + 1e-6))
+    t = jnp.clip(1.0 - omega * dark, 0.1, 1.0)
+    gray = cs.u8_to_unit(cs.gray_u8_planes(*(cs.quantize_u8(p)
+                                             for p in planes)))
+    t = jnp.clip(_guided_fast_sharded(gray, t, r, eps), 0.1, 1.0)
+    return tuple(jnp.clip((p - A[c]) / t + A[c], 0.0, 1.0)
+                 for c, p in enumerate(planes))
+
+
+# ---------------------------------------------------------------------------
+# CLAHE-LAB roundtrip (tile rows per shard; LUT all_gather)
+# ---------------------------------------------------------------------------
+
+
+def _clahe_rows_sharded(xb, clip_limit: float, tiles: int, D: int,
+                        H: int, W: int):
+    """ops.histeq.clahe_u8 on whole-tile-row shards: local tile LUTs, one
+    all_gather, local bilinear interpolation — bit-identical to the
+    single-device op (same construction as parallel.spatial.clahe_spatial)."""
+    th, tw = H // tiles, W // tiles
+    ty_local = tiles // D
+    pt, plf = th // 2, tw // 2
+    f32 = np.float32
+    tyf = (np.arange(H, dtype=f32) * f32(1.0 / th) - f32(0.5)).astype(f32)
+    txf = (np.arange(W, dtype=f32) * f32(1.0 / tw) - f32(0.5)).astype(f32)
+    ya_np = (tyf - np.floor(tyf)).astype(f32)
+    xa_np = (txf - np.floor(txf)).astype(f32)
+
+    Hl = xb.shape[0]
+    dev = lax.axis_index(AX)
+    ya_b = lax.dynamic_slice_in_dim(jnp.asarray(ya_np), dev * Hl, Hl)
+    ya1_b = lax.dynamic_slice_in_dim(
+        jnp.asarray((f32(1.0) - ya_np).astype(f32)), dev * Hl, Hl)
+    xa_r = jnp.asarray(xa_np)
+    xa1_r = jnp.asarray((f32(1.0) - xa_np).astype(f32))
+
+    tiles_loc = (
+        xb.reshape(ty_local, th, tiles, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(ty_local * tiles, th * tw)
+    )
+    luts_loc = _clahe_luts(tiles_loc, th * tw, clip_limit)
+    luts_full = lax.all_gather(luts_loc, AX).reshape(tiles * tiles, 256)
+
+    row_sizes = [th - pt] + [th] * (ty_local - 1) + [pt]
+    col_sizes = [tw - plf] + [tw] * (tiles - 1) + [plf]
+    bins = jnp.arange(256, dtype=jnp.int32)
+    bar = jax.lax.optimization_barrier
+
+    out_rows = []
+    row0 = 0
+    for si, sz in enumerate(row_sizes):
+        band = dev * ty_local + si
+        r1 = jnp.clip(band - 1, 0, tiles - 1)
+        r2 = jnp.clip(band, 0, tiles - 1)
+        seg = lax.slice_in_dim(xb, row0, row0 + sz, axis=0)
+        cols = []
+        col0 = 0
+        for csi, csz in enumerate(col_sizes):
+            c1 = min(max(csi - 1, 0), tiles - 1)
+            c2 = min(csi, tiles - 1)
+            vals = lax.slice_in_dim(seg, col0, col0 + csz, axis=1)
+            flat = vals.reshape(-1)
+            ids4 = jnp.stack([r1 * tiles + c1, r1 * tiles + c2,
+                              r2 * tiles + c1, r2 * tiles + c2])
+            l4 = luts_full[ids4]
+            oh = (flat[:, None] == bins[None, :]).astype(jnp.bfloat16)
+            mapped = jax.lax.dot_general(
+                oh, l4.astype(jnp.bfloat16).T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cols.append(mapped.reshape(sz, csz, 4))
+            col0 += csz
+        out_rows.append(jnp.concatenate(cols, axis=1))
+        row0 += sz
+    mapped = jnp.concatenate(out_rows, axis=0)
+
+    xa = xa_r[None, :]
+    xa1 = xa1_r[None, :]
+    ya = ya_b[:, None]
+    ya1 = ya1_b[:, None]
+    top = bar(bar(mapped[..., 0] * xa1) + bar(mapped[..., 1] * xa))
+    bot = bar(bar(mapped[..., 2] * xa1) + bar(mapped[..., 3] * xa))
+    v = bar(top * ya1) + bar(bot * ya)
+    return jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
+
+
+def _clahe_lab_sharded(planes, clip_limit: float, tiles: int, D: int,
+                       H: int, W: int):
+    L, a, b = cs.rgb_to_lab_u8_exact_planes(
+        *(cs.quantize_u8(p) for p in planes))
+    L = _clahe_rows_sharded(L, clip_limit, tiles, D, H, W)
+    rgb = cs.lab_to_rgb_u8_exact_planes(L, a, b)
+    return tuple(cs.u8_to_unit(c) for c in rgb)
+
+
+# ---------------------------------------------------------------------------
+# The six strategies + public entry
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "tiles"))
+def six_strategy_spatial(img: jnp.ndarray, mesh: Mesh, tiles: int = 8):
+    """All six strategies of one (H, W, 3) frame row-sharded over `mesh`.
+
+    Returns ((6, H, W, 3) sharded on rows, cast code) matching
+    pipeline/enhance.six_strategy_single(img, fast=True) semantics
+    (six_stadigy.py:330-530's per-image body).  Percentiles/CLAHE are
+    bit-equal to the single-device fast path; Canny is bit-equal by the
+    halo argument; airlight SAT corners and the cast means psum partial
+    f32 sums, whose last-bit association may differ."""
+    H, W, _ = img.shape
+    D = mesh.devices.size
+    assert H % D == 0 and (H // D) % 8 == 0, "shard rows must be 8-aligned"
+    assert H % tiles == 0 and W % tiles == 0 and tiles % D == 0, (
+        "CLAHE needs whole tile rows per shard")
+    n_sub = (H // 8) * W  # stride-8 row subsample count for percentiles
+
+    def local(block):
+        planes = tuple(block[..., c] for c in range(3))
+        # cast detect/correct (six_stadigy.py:292-323): global channel means
+        means = jnp.stack(
+            [lax.psum(jnp.sum(p), AX) / float(H * W) for p in planes])
+        r_m, g_m, b_m = means[0], means[1], means[2]
+        greenish = (g_m > r_m) & (g_m > b_m) & ((g_m - r_m) > 0.05)
+        bluish = (b_m > r_m) & (b_m > g_m) & ((b_m - r_m) > 0.05)
+        code = jnp.where(greenish, 1, jnp.where(bluish, 2, 0)).astype(
+            jnp.int32)
+        scale = jnp.stack([
+            jnp.float32(1.0),
+            jnp.where(code == 1, 0.85, 1.0),
+            jnp.where(code == 2, 0.85, 1.0),
+        ])
+        planes = tuple(jnp.clip(p * scale[c], 0.0, 1.0)
+                       for c, p in enumerate(planes))
+
+        A = _airlight_sharded(planes, H, W)
+
+        def st(p, lo, hi):
+            return _stretch_planes(p, lo, hi, n_sub)
+
+        def cl(p, c):
+            return _clahe_lab_sharded(p, c, tiles, D, H, W)
+
+        def gm(p, g):
+            return tuple(gamma_correction_pow(c, g) for c in p)
+
+        s1 = gm(cl(st(_restore_sharded(planes, A, 0.3, 20, 5e-1),
+                      5.0, 98.0), 3.0), 1.5)
+        s2 = cl(st(_restore_sharded(planes, A, 0.5, 15, 5e-1),
+                   15.0, 95.0), 2.0)
+        s3 = _wb_planes(st(_restore_sharded(planes, A, 0.7, 10, 1e-1),
+                           20.0, 85.0), 2.0, n_sub)
+        s4 = gm(_wb_planes(st(cl(planes, 4.0), 10.0, 95.0), 3.0, n_sub), 1.3)
+        s5 = gm(cl(st(_wb_planes(planes, 2.0, n_sub), 15.0, 90.0), 1.5), 1.2)
+        s6 = gm(cl(st(planes, 5.0, 98.0), 3.5), 1.4)
+
+        outs = jnp.stack([jnp.stack(s, axis=-1)
+                          for s in (s1, s2, s3, s4, s5, s6)])
+        return outs, code
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(AX, None, None),
+        out_specs=(P(None, AX, None, None), P()),
+        check_rep=False,
+    )(img)
