@@ -38,6 +38,27 @@ def test_paired_dataset(tiny_dataset):
     assert batches[0][0].shape == (2, 32, 32, 3)
 
 
+def test_paired_dataset_multihost_sharding(tiny_dataset):
+    """Grain-style sharded file lists: per-process batch streams are
+    disjoint, equal-length, and together cover the single-process epoch."""
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    idx = np.arange(len(ds))
+    single = list(ds.batches(idx, 2, seed=7,
+                             process_index=0, process_count=1))
+    shards = [list(ds.batches(idx, 2, seed=7,
+                              process_index=p, process_count=2))
+              for p in range(2)]
+    assert len(shards[0]) == len(shards[1]) == len(single) // 2
+    # every single-process batch appears in exactly one shard, in order
+    def key(b):
+        return b[0].tobytes()
+    got = sorted(key(b) for s in shards for b in s)
+    want = sorted(key(b) for b in single)
+    assert got == want
+
+
 def test_mlp_trainer_loss_decreases(tiny_dataset, tmp_path):
     from underwater_image_enhancement_tpu.train.data import PairedImageDataset
     from underwater_image_enhancement_tpu.train.trainer import MLPTrainer

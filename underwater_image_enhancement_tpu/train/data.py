@@ -102,12 +102,35 @@ class PairedImageDataset:
 
     def batches(self, indices: np.ndarray, batch_size: int,
                 shuffle: bool = True, drop_remainder: bool = True,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                seed: int = 0, process_index: int | None = None,
+                process_count: int | None = None,
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (imgs, refs) batches of `batch_size`.
+
+        Multi-host sharding (grain-style sharded file lists): every process
+        runs the SAME seed-synchronized shuffle, then takes every
+        `process_count`-th batch starting at `process_index` — disjoint IO
+        per host, global effective batch = process_count * batch_size, and
+        epoch boundaries stay aligned across hosts (each process yields
+        floor(n_batches / process_count) batches).  Defaults pick up
+        `jax.process_index()/process_count()` when multi-process JAX is
+        initialized; single-process behavior is unchanged.
+        """
+        if process_index is None or process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
         order = np.array(indices)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         stop = len(order) - (len(order) % batch_size) if drop_remainder else len(order)
-        for i in range(0, stop, batch_size):
+        starts = list(range(0, stop, batch_size))
+        if process_count > 1:
+            # equal batch counts per process keep hosts lockstep
+            per = len(starts) // process_count
+            starts = starts[process_index::process_count][:per]
+        for i in starts:
             chunk = order[i:i + batch_size]
             if len(chunk) < batch_size and drop_remainder:
                 break
