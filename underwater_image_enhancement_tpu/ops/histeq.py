@@ -94,14 +94,23 @@ def histogram_equalization_planes(planes):
     )
 
 
-def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit: float) -> jnp.ndarray:
+def _clahe_luts(tiles: jnp.ndarray, tile_area: int, clip_limit) -> jnp.ndarray:
     """Per-tile CLAHE LUTs, OpenCV integer arithmetic.
 
     tiles: (T, tile_area) int32 pixel values.  Returns (T, 256) int32 LUTs.
+    clip_limit: a float (shared) or a static (T,) numpy int array of
+    per-tile clip COUNTS (already max(int(limit*area/256), 1)) — the
+    per-image-limit form used when several images' tiles are folded into
+    one batch (clahe_u8_batch with a tuple of limits).
     """
+    import numpy as _np
+
     hist = _histogram256(tiles)
 
-    clip = max(int(clip_limit * tile_area / 256.0), 1)
+    if isinstance(clip_limit, _np.ndarray):
+        clip = jnp.asarray(clip_limit.astype(_np.int32))[:, None]
+    else:
+        clip = max(int(clip_limit * tile_area / 256.0), 1)
     clipped = jnp.minimum(hist, clip)
     excess = jnp.sum(hist - clipped, axis=1)  # (T,)
 
@@ -136,10 +145,12 @@ def _pad_bands(xb: jnp.ndarray, tiles_x: int, tiles_y: int):
     return x, xp2, th, tw, pt, plf
 
 
-def _clahe_prep(xb: jnp.ndarray, clip_limit: float,
+def _clahe_prep(xb: jnp.ndarray, clip_limit,
                 tiles_x: int, tiles_y: int):
     """Shared CLAHE front half: padding, per-tile LUTs, band-block LUT
-    gather, OpenCV f32 interpolation weights.  xb: (B, H, W) i32."""
+    gather, OpenCV f32 interpolation weights.  xb: (B, H, W) i32.
+    clip_limit: float, or a length-B tuple of per-image limits (the
+    folded-batch path where each image keeps its own clip)."""
     import numpy as _np
 
     Bn, H, W = xb.shape
@@ -153,6 +164,11 @@ def _clahe_prep(xb: jnp.ndarray, clip_limit: float,
         .transpose(0, 1, 3, 2, 4)
         .reshape(Bn * T, th * tw)
     )
+    if isinstance(clip_limit, tuple):
+        assert len(clip_limit) == Bn
+        clip_limit = _np.repeat(
+            _np.array([max(int(c * (th * tw) / 256.0), 1)
+                       for c in clip_limit], _np.int64), T)
     luts = _clahe_luts(tiles, th * tw, clip_limit).reshape(Bn, T, 256)
 
     # the 4 fixed LUT ids per band-block (static python ints, same per image)
@@ -320,13 +336,45 @@ def clahe_u8(channel_u8: jnp.ndarray, clip_limit: float = 2.0,
     return _clahe_cv(float(clip_limit), tiles_x, tiles_y, impl)(channel_u8)
 
 
-def clahe_u8_batch(batch_u8: jnp.ndarray, clip_limit: float = 2.0,
+def clahe_u8_batch(batch_u8: jnp.ndarray, clip_limit=2.0,
                    tiles_x: int = 8, tiles_y: int = 8,
                    impl: str = "auto") -> jnp.ndarray:
     """Explicit batched CLAHE: (B, H, W) int32 -> (B, H, W), bit-exact
-    per image (identical to mapping clahe_u8 over the batch)."""
-    return _clahe_u8_batched(batch_u8, float(clip_limit), tiles_x, tiles_y,
-                             impl)
+    per image (identical to mapping clahe_u8 over the batch).
+    clip_limit may be a length-B tuple of PER-IMAGE limits — the batch
+    still runs as one folded program (one histogram/LUT/apply pass)."""
+    cl = clip_limit if isinstance(clip_limit, tuple) else float(clip_limit)
+    return _clahe_u8_batched(batch_u8, cl, tiles_x, tiles_y, impl)
+
+
+def clahe_enhancement_planes_multi(planes_list, clip_limits,
+                                   tiles_x: int = 8, tiles_y: int = 8):
+    """N independent CLAHE-LAB roundtrips as ONE folded program.
+
+    planes_list: sequence of (r, g, b) float plane tuples (same H, W);
+    clip_limits: matching per-roundtrip limits.  The LAB conversions fold
+    the N images into rows and CLAHE folds them into its tile/band-block
+    axes, so one histogram + one LUT build + one apply pass cover all N —
+    bit-identical per image to clahe_enhancement_planes (the six-strategy
+    program uses this to run its 5 independent CLAHE legs in one pass).
+    """
+    from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+    if pk.is_batched(*(pl_[0] for pl_ in planes_list)):
+        # vmapped caller: the manual folds below aren't vmap-safe; the
+        # per-leg ops carry their own custom_vmap batch rules instead
+        return [clahe_enhancement_planes(pl_, c)
+                for pl_, c in zip(planes_list, clip_limits)]
+    N = len(planes_list)
+    H, W = planes_list[0][0].shape
+    stacked = tuple(
+        jnp.concatenate([pl_[c].reshape(H, W) for pl_ in planes_list], axis=0)
+        for c in range(3))  # 3 x (N*H, W) row-folded planes
+    L, a, b = cs.rgb_unit_to_lab_planes(*stacked)
+    Lb = _clahe_u8_batched(L.reshape(N, H, W), tuple(clip_limits),
+                           tiles_x, tiles_y, "auto")
+    rgb = cs.lab_to_rgb_unit_planes(Lb.reshape(N * H, W), a, b)
+    return [tuple(c[i * H:(i + 1) * H] for c in rgb) for i in range(N)]
 
 
 def _clahe_lab_fused_batched(Lb, ab, bb, clip_limit: float,
