@@ -64,3 +64,21 @@ def test_clahe_enhancement_end_to_end_bit_exact(underwater_img):
     got = np.asarray(histeq.clahe_enhancement(underwater_img, 2.0))
     want = golden.clahe(underwater_img.astype(np.float64), 2.0)
     np.testing.assert_array_equal((got * 255).round(), (want * 255).round())
+
+
+def test_clahe_multi_matches_per_leg(rng):
+    """clahe_enhancement_planes_multi (one folded program, per-image clip
+    limits) == independent clahe_enhancement_planes calls, bit for bit."""
+    import jax.numpy as jnp
+    from underwater_image_enhancement_tpu.ops.histeq import (
+        clahe_enhancement_planes, clahe_enhancement_planes_multi)
+
+    imgs = rng.random((3, 70, 90, 3)).astype(np.float32)
+    planes_list = [tuple(jnp.asarray(imgs[i, ..., c]) for c in range(3))
+                   for i in range(3)]
+    clips = (3.0, 1.5, 4.0)
+    got = clahe_enhancement_planes_multi(planes_list, clips)
+    for i in range(3):
+        want = clahe_enhancement_planes(planes_list[i], clips[i])
+        for gp, wp in zip(got[i], want):
+            np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))

@@ -57,8 +57,9 @@ def test_preprocess_views_composition(rng):
         np.asarray(wb),
         np.asarray(stretch.gray_world_white_balance(jnp.asarray(img))),
         atol=0)
+    # pow codegen differs across backends (TPU measured 3.2e-6 abs)
     np.testing.assert_allclose(np.asarray(gc),
-                               np.clip(img ** 0.7, 0, 1), atol=1e-6)
+                               np.clip(img ** 0.7, 0, 1), atol=1e-5)
 
 
 def test_waternet_enhance_one_jit_pipeline(rng):

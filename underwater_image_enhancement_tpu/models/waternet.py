@@ -54,10 +54,15 @@ class FTU(nn.Module):
 
     @nn.compact
     def __call__(self, raw: jnp.ndarray, view: jnp.ndarray) -> jnp.ndarray:
+        # float32 mode pins conv precision to HIGHEST: the MXU's default
+        # bf16 passes drift ~1e-3 vs the float64 numpy oracle on real TPUs
+        prec = None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
         x = jnp.concatenate([raw, view], axis=-1).astype(self.dtype)
-        x = nn.relu(nn.Conv(self.features, (7, 7), dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(self.features, (5, 5), dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(3, (3, 3), dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(self.features, (7, 7), dtype=self.dtype,
+                            precision=prec)(x))
+        x = nn.relu(nn.Conv(self.features, (5, 5), dtype=self.dtype,
+                            precision=prec)(x))
+        x = nn.relu(nn.Conv(3, (3, 3), dtype=self.dtype, precision=prec)(x))
         return x
 
 
@@ -76,7 +81,8 @@ class WaterNet(nn.Module):
 
     @nn.compact
     def __call__(self, raw, wb, he, gc) -> jnp.ndarray:
-        conv = functools.partial(nn.Conv, dtype=self.dtype)
+        prec = None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        conv = functools.partial(nn.Conv, dtype=self.dtype, precision=prec)
         t = jnp.concatenate([raw, wb, he, gc], axis=-1).astype(self.dtype)
         t = nn.relu(conv(self.features, (7, 7))(t))
         t = nn.relu(conv(self.features, (5, 5))(t))
@@ -108,7 +114,8 @@ class UNetEnhancer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        conv = functools.partial(nn.Conv, dtype=self.dtype)
+        prec = None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        conv = functools.partial(nn.Conv, dtype=self.dtype, precision=prec)
         raw = x
         x = x.astype(self.dtype)
         f = self.features

@@ -93,44 +93,23 @@ def six_strategy_single(img: jnp.ndarray, fast: bool = False
     strategies — they all run the same descent on the same corrected image,
     so the outputs are bit-identical to the per-strategy recomputation the
     reference does (six_stadigy.py:231,242,252), at a third of the cost.
-    The five strategies' CLAHE-LAB roundtrips are mutually independent, so
-    they run as ONE folded batch (histeq.clahe_enhancement_planes_multi,
-    bit-identical per leg) — one histogram/LUT/apply pass instead of five."""
-    from underwater_image_enhancement_tpu.ops import histeq, stretch
+    (Folding the five independent CLAHE-LAB legs into one batched pass —
+    histeq.clahe_enhancement_planes_multi — was benched SLOWER here: the
+    concat copies plus the barrier before the single pass cost more than
+    the five launches they save; the multi API remains for true batch
+    workloads.)"""
     from underwater_image_enhancement_tpu.pipeline import six as six_mod
 
     method = "hist-fast" if fast else "sort"
     corrected, code = cast_mod.detect_and_correct(img)
-    p = six_mod._split(corrected)
-    A = six_mod._airlight(p, method)
-
-    def st(q, lo, hi):
-        return stretch.enhance_contrast_planes(q, lo, hi, method=method)
-
-    def wb(q, pc):
-        return stretch.white_balance_planes(q, pc, method=method)
-
-    def gm(q, g):
-        return six_mod._gamma_pow(q, g)
-
-    # pre-CLAHE halves (six_stadigy.py:230-285 recipes, shared A)
-    e1 = st(six_mod._restore(p, 0.3, 20, 5e-1, method, A), 5.0, 98.0)
-    e2 = st(six_mod._restore(p, 0.5, 15, 5e-1, method, A), 15.0, 95.0)
-    e3 = st(six_mod._restore(p, 0.7, 10, 1e-1, method, A), 20.0, 85.0)
-    e5 = st(wb(p, 2.0), 15.0, 90.0)
-    e6 = st(p, 5.0, 98.0)
-    cl = histeq.clahe_enhancement_planes_multi(
-        [e1, e2, p, e5, e6], (3.0, 2.0, 4.0, 1.5, 3.5))
-
-    stacks = (
-        gm(cl[0], 1.5),                               # strong_dehazing
-        cl[1],                                        # medium_dehazing
-        wb(e3, 2.0),                                  # light_dehazing
-        gm(wb(st(cl[2], 10.0, 95.0), 3.0), 1.3),      # clahe_enhancement
-        gm(cl[3], 1.2),                               # white_balance
-        gm(cl[4], 1.4),                               # histogram_eq
-    )
-    outs = [jnp.stack(s, axis=-1) for s in stacks]
+    A = six_mod._airlight(six_mod._split(corrected), method)
+    outs = []
+    for k in SIX_ORDER:
+        builder = six_mod._BUILDERS[k]
+        if k in ("strong_dehazing", "medium_dehazing", "light_dehazing"):
+            outs.append(builder(corrected, method, A=A))
+        else:
+            outs.append(builder(corrected, method))
     return jnp.stack(outs), code
 
 
