@@ -46,45 +46,13 @@ from underwater_image_enhancement_tpu.ops.edges import canny_u8
 from underwater_image_enhancement_tpu.ops.histeq import _clahe_luts
 from underwater_image_enhancement_tpu.ops.stretch import gamma_correction_pow
 from underwater_image_enhancement_tpu.parallel.mesh import DATA_AXIS
+from underwater_image_enhancement_tpu.parallel.spatial import _exchange_halo
 
 AX = DATA_AXIS
 
 
 def _halo(block: jnp.ndarray, h: int, edge: str = "reflect101"):
-    """Ring-exchange `h` boundary rows (axis 0), multi-hop when h exceeds
-    the shard height (each hop ppermutes a full block from a farther
-    neighbor).  Global edges synthesize their halo locally: 'reflect101' =
-    rows [1..h] mirrored (numpy reflect, cv2 BORDER_DEFAULT), 'edge' =
-    row 0 / row -1 replicated (cv2 REPLICATE, the Canny border).  Fill
-    blocks for out-of-globe neighbors use the SHARD'S OWN edge rows — only
-    the true edge shards ever read them (interior shards' slices land in
-    real neighbor blocks)."""
-    n = lax.axis_size(AX)
-    idx = lax.axis_index(AX)
-    Hl = block.shape[0]
-    hops = -(-h // Hl)
-    parts = [lax.ppermute(block, AX, [(i, (i + k) % n) for i in range(n)])
-             for k in range(hops, 0, -1)]
-    parts.append(block)
-    parts += [lax.ppermute(block, AX, [(i, (i - k) % n) for i in range(n)])
-              for k in range(1, hops + 1)]
-    ext = jnp.concatenate(parts, axis=0)
-    start = hops * Hl - h
-    ext = lax.slice_in_dim(ext, start, start + Hl + 2 * h, axis=0)
-    # globe edges: rows beyond [0, H) currently hold ring-wrapped data;
-    # remap them to their reflected/replicated in-globe source, which is
-    # always inside this extension (|reflection| <= h <= extension reach)
-    Hg = Hl * n
-    s0 = idx * Hl
-    grow = s0 - h + jnp.arange(Hl + 2 * h, dtype=jnp.int32)
-    if edge == "edge":
-        src_g = jnp.clip(grow, 0, Hg - 1)
-    else:
-        src_g = jnp.where(grow < 0, -grow,
-                          jnp.where(grow > Hg - 1, 2 * (Hg - 1) - grow,
-                                    grow))
-    src_p = jnp.clip(src_g - s0 + h, 0, Hl + 2 * h - 1)
-    return ext[src_p]
+    return _exchange_halo(block, h, AX, edge)
 
 
 # ---------------------------------------------------------------------------

@@ -29,25 +29,41 @@ from jax.experimental.shard_map import shard_map
 from underwater_image_enhancement_tpu.parallel.mesh import DATA_AXIS
 
 
-def _exchange_halo(block: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
-    """Concatenate `halo` rows from the previous/next shard onto this one.
-
-    Edge shards receive garbage from the ring wrap; callers mask it by
-    REFLECT-padding the global edges beforehand or by cropping, matching the
-    single-device op's border handling."""
+def _exchange_halo(block: jnp.ndarray, halo: int, axis_name: str,
+                   edge: str = "reflect101") -> jnp.ndarray:
+    """Concatenate `halo` rows from neighboring shards onto this one,
+    multi-hop when the halo exceeds the shard height (each hop ppermutes a
+    full block from a farther neighbor).  Global edges synthesize their
+    rows locally via a uniform row remap after assembly: 'reflect101'
+    mirrors rows [1..halo] (numpy reflect / cv2 BORDER_DEFAULT), 'edge'
+    replicates row 0 / row -1 (cv2 REPLICATE)."""
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    top_send = block[:halo]       # my first rows -> previous shard's bottom halo
-    bot_send = block[-halo:]      # my last rows  -> next shard's top halo
-    # ring permutes
-    from_next = lax.ppermute(top_send, axis_name,
-                             [(i, (i - 1) % n) for i in range(n)])
-    from_prev = lax.ppermute(bot_send, axis_name,
-                             [(i, (i + 1) % n) for i in range(n)])
-    # global edges: reflect my own rows instead of the wrapped data
-    top_halo = jnp.where(idx == 0, block[1:halo + 1][::-1], from_prev)
-    bot_halo = jnp.where(idx == n - 1, block[-halo - 1:-1][::-1], from_next)
-    return jnp.concatenate([top_halo, block, bot_halo], axis=0)
+    Hl = block.shape[0]
+    hops = -(-halo // Hl)
+    parts = [lax.ppermute(block, axis_name,
+                          [(i, (i + k) % n) for i in range(n)])
+             for k in range(hops, 0, -1)]
+    parts.append(block)
+    parts += [lax.ppermute(block, axis_name,
+                           [(i, (i - k) % n) for i in range(n)])
+              for k in range(1, hops + 1)]
+    ext = jnp.concatenate(parts, axis=0)
+    start = hops * Hl - halo
+    ext = lax.slice_in_dim(ext, start, start + Hl + 2 * halo, axis=0)
+    # rows beyond [0, H) hold ring-wrapped data; remap them to their
+    # reflected/replicated in-globe source (always inside this extension)
+    Hg = Hl * n
+    s0 = idx * Hl
+    grow = s0 - halo + jnp.arange(Hl + 2 * halo, dtype=jnp.int32)
+    if edge == "edge":
+        src_g = jnp.clip(grow, 0, Hg - 1)
+    else:
+        src_g = jnp.where(grow < 0, -grow,
+                          jnp.where(grow > Hg - 1, 2 * (Hg - 1) - grow,
+                                    grow))
+    src_p = jnp.clip(src_g - s0 + halo, 0, Hl + 2 * halo - 1)
+    return ext[src_p]
 
 
 def box_filter_spatial(x: jnp.ndarray, r: int, mesh: Mesh) -> jnp.ndarray:
