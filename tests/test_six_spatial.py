@@ -66,3 +66,20 @@ def test_six_spatial_shape_and_cast(rng, mesh8):
     assert out.shape == (6, H, W, 3)
     assert int(code) == 1
     assert bool(jnp.isfinite(out).all())
+
+
+def test_ancuti_fusion_spatial_matches_single(rng, mesh8):
+    from underwater_image_enhancement_tpu.parallel.fusion_spatial import (
+        ancuti_fusion_spatial)
+    from underwater_image_enhancement_tpu.pipeline.fusion import ancuti_fusion
+
+    H, W = 128, 192
+    img = jnp.asarray(
+        np.floor(rng.random((H, W, 3)) * 0.9 * 255.0) / 255.0, jnp.float32)
+    got = np.asarray(ancuti_fusion_spatial(img, mesh8))
+    want = np.asarray(ancuti_fusion(img))
+    assert got.shape == want.shape == (H, W, 3)
+    p = _psnr(got, want)
+    # sharded CLAHE/blurs are bit-equal; the psum'd means in the gray-world
+    # WB and saliency terms re-associate f32 sums
+    assert p > 55.0, f"fusion spatial PSNR {p:.1f} dB"
