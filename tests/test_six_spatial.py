@@ -83,3 +83,60 @@ def test_ancuti_fusion_spatial_matches_single(rng, mesh8):
     # sharded CLAHE/blurs are bit-equal; the psum'd means in the gray-world
     # WB and saliency terms re-associate f32 sums
     assert p > 55.0, f"fusion spatial PSNR {p:.1f} dB"
+
+
+def test_canny_sharded_bit_equal(rng, mesh8):
+    """The halo'd Canny equals the single-device bounded propagation at
+    EVERY row, including the global first/last rows (valid_rows zeroes the
+    phantom halo gradients that used to flip border NMS)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from underwater_image_enhancement_tpu.ops.edges import canny_u8
+    from underwater_image_enhancement_tpu.parallel.mesh import DATA_AXIS
+    from underwater_image_enhancement_tpu.parallel.six_spatial import (
+        _canny_sharded)
+
+    gray = rng.integers(0, 256, (64, 128)).astype(np.int32)
+    got = shard_map(
+        lambda g: _canny_sharded(g, 16), mesh=mesh8,
+        in_specs=P(DATA_AXIS, None), out_specs=P(DATA_AXIS, None),
+        check_rep=False,
+    )(jnp.asarray(gray))
+    want = canny_u8(jnp.asarray(gray), 50, 150, hysteresis_iters=16,
+                    use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fusion_spatial_border_rows_exact(rng, mesh8):
+    """The pyr_up border fix: bottom rows must sit at float noise, not the
+    ~2e-3 a symmetric coarse reflect left them at."""
+    from underwater_image_enhancement_tpu.parallel.fusion_spatial import (
+        ancuti_fusion_spatial)
+    from underwater_image_enhancement_tpu.pipeline.fusion import ancuti_fusion
+
+    H, W = 64, 128
+    img = jnp.asarray(
+        np.floor(rng.random((H, W, 3)) * 0.9 * 255.0) / 255.0, jnp.float32)
+    got = np.asarray(ancuti_fusion_spatial(img, mesh8))
+    want = np.asarray(ancuti_fusion(img))
+    err = np.abs(got - want)
+    assert err[:2].max() < 1e-4 and err[-2:].max() < 1e-4, (
+        err[:2].max(), err[-2:].max())
+    assert err.max() < 1e-4, err.max()
+
+
+def test_fusion_spatial_single_level(rng, mesh8):
+    """min(H, W) < 32 -> one pyramid level: the blend degenerates to a
+    weighted average (the single-device path handles this; the sharded one
+    used to crash in reconstruct([]))."""
+    from underwater_image_enhancement_tpu.parallel.fusion_spatial import (
+        ancuti_fusion_spatial)
+    from underwater_image_enhancement_tpu.pipeline.fusion import ancuti_fusion
+
+    img = jnp.asarray(
+        np.floor(rng.random((16, 1024, 3)) * 0.9 * 255.0) / 255.0,
+        jnp.float32)
+    got = np.asarray(ancuti_fusion_spatial(img, mesh8))
+    want = np.asarray(ancuti_fusion(img))
+    assert np.abs(got - want).max() < 1e-4

@@ -82,21 +82,19 @@ def quadtree_airlight(img: jnp.ndarray, min_size: int = 1) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("min_size", "edge_iters"))
-def quadtree_airlight_planes(planes, min_size: int = 1,
-                             edge_iters: int = 64) -> jnp.ndarray:
-    """Channel-first core: (r, g, b) planes -> A (3,).
+def quadtree_descend(corners_fn, H: int, W: int, min_size: int = 1):
+    """The quadtree descent shared by the local and the sharded airlight:
+    score 4 children per level from 9 SAT corners, take the argmax child
+    (first max wins, like np.argmax), repeat down to ``min_size``.
 
-    edge_iters bounds the Canny hysteresis propagation; 64 matches the
-    parity-tested global edge map, throughput callers may lower it (the
-    edge term only steers the descent)."""
-    r, g, b = planes
-    H, W = r.shape[0], r.shape[1]
-    gray = gray_u8_planes(*(quantize_u8(p) for p in planes))
-    edgemap = canny_u8(gray, 50, 150,
-                       hysteresis_iters=edge_iters).astype(jnp.float32)
-    stat_planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
-    sats = _sat_rows(stat_planes, fast=True)  # (7, H+1, W)
+    corners_fn(rows (3,), cols (3,)) -> (7, 3, 3) SAT corners of the
+    [r, g, b, r^2, g^2, b^2, edges] stack over [0, rows[t]) x [0, cols[s])
+    — local SAT lookups single-device, psum'd partial prefixes when the
+    frame is row-sharded (parallel/six_spatial.py).  Unrolled to the
+    statically-bounded level count with masking (the lax.while_loop's
+    per-iteration machinery measured ~54 us/level on v5e).
+
+    Returns the final (r0, c0, h, w) box as traced int32 scalars."""
 
     def cond(state):
         _, _, h, w = state
@@ -105,14 +103,9 @@ def quadtree_airlight_planes(planes, min_size: int = 1,
     def body(state):
         r0, c0, h, w = state
         mh, mw = h // 2, w // 2
-        # The 4 children share a 3x3 grid of SAT corners; fetch all 9 points
-        # for all 7 planes via one 3-row strip + tiny column prefix (the
-        # per-corner dynamic_slice version serialized ~50 latency-bound HBM
-        # reads per level).
         rows = jnp.stack([r0, r0 + mh, r0 + h])
         cols = jnp.stack([c0, c0 + mw, c0 + w])
-        grid = _corner_grid(sats, rows, cols,
-                            fast=jax.default_backend() == "tpu")  # (7, 3, 3)
+        grid = corners_fn(rows, cols)  # (7, 3, 3)
 
         def box(ri, ci, rj, cj):
             return (grid[:, rj, cj] - grid[:, ri, cj]
@@ -141,16 +134,38 @@ def quadtree_airlight_planes(planes, min_size: int = 1,
 
     z = jnp.int32(0)
     state = (z, z, jnp.int32(H), jnp.int32(W))
-    # Unrolled masked descent instead of lax.while_loop: the level count is
-    # bounded statically by the halving plan, and the while_loop's per-
-    # iteration machinery measured ~54 us/level on v5e (~0.55 ms of pure
-    # loop latency) vs inlined dependent gathers.  Masked extra levels are
-    # the identity, so results are bit-identical to the while_loop.
     for _ in range(len(_level_plan(H, W, min_size))):
         nxt = body(state)
         active = cond(state)
         state = tuple(jnp.where(active, n, s) for n, s in zip(nxt, state))
-    r0, c0, h, w = state
+    return state
+
+
+@partial(jax.jit, static_argnames=("min_size", "edge_iters"))
+def quadtree_airlight_planes(planes, min_size: int = 1,
+                             edge_iters: int = 64) -> jnp.ndarray:
+    """Channel-first core: (r, g, b) planes -> A (3,).
+
+    edge_iters bounds the Canny hysteresis propagation; 64 matches the
+    parity-tested global edge map, throughput callers may lower it (the
+    edge term only steers the descent)."""
+    r, g, b = planes
+    H, W = r.shape[0], r.shape[1]
+    gray = gray_u8_planes(*(quantize_u8(p) for p in planes))
+    edgemap = canny_u8(gray, 50, 150,
+                       hysteresis_iters=edge_iters).astype(jnp.float32)
+    stat_planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
+    sats = _sat_rows(stat_planes, fast=True)  # (7, H+1, W)
+
+    def corners(rows, cols):
+        # The 4 children share a 3x3 grid of SAT corners; fetch all 9 points
+        # for all 7 planes via one 3-row strip + tiny column prefix (the
+        # per-corner dynamic_slice version serialized ~50 latency-bound HBM
+        # reads per level).
+        return _corner_grid(sats, rows, cols,
+                            fast=jax.default_backend() == "tpu")
+
+    r0, c0, h, w = quadtree_descend(corners, H, W, min_size)
 
     # brightest pixel (max R+G+B, first index on ties — np.argmax order)
     return _brightest_pixel(planes, r0, c0, h, w)

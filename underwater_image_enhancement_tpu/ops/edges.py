@@ -98,7 +98,7 @@ _TG22 = 13573  # tan(22.5 deg) in Q15, as in OpenCV canny.cpp
 @partial(jax.jit, static_argnames=("low", "high", "hysteresis_iters", "use_pallas"))
 def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
              hysteresis_iters: int = 64, use_pallas="auto",
-             valid_hw=None) -> jnp.ndarray:
+             valid_hw=None, valid_rows=None) -> jnp.ndarray:
     """cv2.Canny(gray, low, high) on a uint8-valued int32 plane -> {0,1} mask.
 
     L1 gradient (|dx|+|dy|), 3x3 Sobel with REPLICATE border, OpenCV's
@@ -115,6 +115,11 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
     inside [0:h, 0:w] EXACTLY cv2.Canny of the (h, w) crop — Sobel sees the
     replicate border, NMS border neighbors read magnitude 0 (OpenCV zeroes
     its border map rows), and hysteresis cannot enter the dead zone.
+
+    valid_rows=(r0, r1) (traced scalars) is the row-band analog for halo'd
+    shards (parallel/six_spatial.py): with rows r0 / r1-1 replicated beyond
+    the band, the result inside [r0:r1] is EXACTLY the corresponding rows
+    of the full-plane computation.
     """
     g = gray_u8.astype(jnp.int32)
     dx = conv3x3(g, _SOBEL_X, "edge")
@@ -125,6 +130,10 @@ def canny_u8(gray_u8: jnp.ndarray, low: int = 50, high: int = 150,
         rows = jnp.arange(m.shape[-2], dtype=jnp.int32)[:, None]
         cols = jnp.arange(m.shape[-1], dtype=jnp.int32)[None, :]
         m = jnp.where((rows < h) & (cols < w), m, 0)
+    if valid_rows is not None:
+        r0, r1 = valid_rows
+        rows = jnp.arange(m.shape[-2], dtype=jnp.int32)[:, None]
+        m = jnp.where((rows >= r0) & (rows < r1), m, 0)
 
     # sector classification, OpenCV integer arithmetic
     ax = jnp.abs(dx)

@@ -266,24 +266,20 @@ def _clahe_u8_batched(xb: jnp.ndarray, clip_limit: float,
         .reshape(Bn, by * th, bx * tw, 4)[:, pt : pt + Hp, plf : plf + Wp]
     )
 
-    # Weight construction (y * (1/th) - 0.5 in fp32) and the accumulation
-    # order ((p11*xa1 + p12*xa)*ya1 + (p21*xa1 + p22*xa)*ya) replicate
-    # OpenCV's float32 path bit-for-bit (empirically verified).
-    # Interpolation weights are computed on HOST in numpy float32, exactly
-    # as OpenCV does (y * (1/th) - 0.5 in fp32) and baked as constants:
-    # leaving them in-graph lets XLA constant-fold / FMA-contract the
-    # expressions at higher precision, which shifts exact .5 ties in the
-    # final cvRound.  optimization_barrier keeps the in-graph mul/add
-    # sequence un-contracted.
+    # The same host-f32 OpenCV weights _clahe_prep built for the band
+    # frame, re-sliced to the crop frame (band index pt+i == crop index i:
+    # identical f32 values, ONE source of the tie-critical formula).  The
+    # accumulation order ((p11*xa1 + p12*xa)*ya1 + (p21*xa1 + p22*xa)*ya)
+    # replicates OpenCV's float32 path bit-for-bit (empirically verified);
+    # optimization_barrier keeps XLA from FMA-contracting it, which would
+    # shift exact .5 ties in the final cvRound.
     f32 = _np.float32
-    tyf = (_np.arange(Hp, dtype=f32) * f32(1.0 / th) - f32(0.5)).astype(f32)
-    txf = (_np.arange(Wp, dtype=f32) * f32(1.0 / tw) - f32(0.5)).astype(f32)
-    ya_np = (tyf - _np.floor(tyf)).astype(f32)
-    xa_np = (txf - _np.floor(txf)).astype(f32)
-    ya = jnp.asarray(ya_np)[None, :, None]
-    xa = jnp.asarray(xa_np)[None, None, :]
-    ya1 = jnp.asarray((f32(1.0) - ya_np).astype(f32))[None, :, None]
-    xa1 = jnp.asarray((f32(1.0) - xa_np).astype(f32))[None, None, :]
+    ya_c = ya_np[pt:pt + Hp]
+    xa_c = xa_np[plf:plf + Wp]
+    ya = jnp.asarray(ya_c)[None, :, None]
+    xa = jnp.asarray(xa_c)[None, None, :]
+    ya1 = jnp.asarray((f32(1.0) - ya_c).astype(f32))[None, :, None]
+    xa1 = jnp.asarray((f32(1.0) - xa_c).astype(f32))[None, None, :]
     bar = jax.lax.optimization_barrier
     top = bar(bar(mapped[..., 0] * xa1) + bar(mapped[..., 1] * xa))
     bot = bar(bar(mapped[..., 2] * xa1) + bar(mapped[..., 3] * xa))

@@ -225,9 +225,12 @@ def clahe_apply(xp2: jnp.ndarray, luts4: jnp.ndarray, ya_np, xa_np,
 def _make_cumsum_rows_kernel(H: int):
     def kernel(x_ref, o_ref):
         c = x_ref[0]                              # (H, 128)
-        # Hillis-Steele doubling: jnp.cumsum has no Mosaic lowering, and
-        # this matches XLA's doubling association (gated bit-equal vs the
-        # XLA cumsum in tests/test_pallas.py on both backends).
+        # Hillis-Steele doubling: jnp.cumsum has no Mosaic lowering.  The
+        # f32 association DIFFERS from XLA's cumsum in the last bits (see
+        # _sat_rows/_corner_grid docstrings — this kernel serves only the
+        # throughput airlight path); test_sat_rows_kernel_exact gates a
+        # ~3e-6 relative agreement vs float64, and exactness on integer
+        # inputs.
         shift = 1
         while shift < H:
             z = jnp.zeros((shift, c.shape[1]), c.dtype)

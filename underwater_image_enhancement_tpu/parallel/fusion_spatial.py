@@ -74,11 +74,16 @@ def _pyr_up_rows(coarse_rows: jnp.ndarray, dst_h: int, dst_w: int):
 
 
 def _coarse_rows_with_halo(rep: jnp.ndarray, c0, hc: int):
-    """Rows [c0-1, c0+hc+1) of a REPLICATED coarse plane, reflect-101 at
-    the globe edges (matches pyr_up's fine-level border after
-    interleaving)."""
-    return lax.dynamic_slice_in_dim(
-        jnp.pad(rep, ((1, 1), (0, 0)), mode="reflect"), c0, hc + 2, axis=0)
+    """Rows [c0-1, c0+hc+1) of a REPLICATED coarse plane with the globe
+    borders that reproduce pyr_up's FINE-level REFLECT_101 after
+    zero-interleaving: the top coarse halo row is the reflect (fine pad
+    row -2 = fine row 2 = coarse row 1) but the bottom is the EDGE
+    replicate — fine pad row H reflects to fine row H-2 = coarse Hc-1,
+    the last coarse row itself, because the skipped fine row H-1 is a
+    zero slot.  (A symmetric reflect here left the bottom two output rows
+    ~2e-3 off the single-device fusion.)"""
+    padded = jnp.concatenate([rep[1:2], rep, rep[-1:]], axis=0)
+    return lax.dynamic_slice_in_dim(padded, c0, hc + 2, axis=0)
 
 
 def _weight_map_sharded(p, H: int, W: int):
@@ -123,6 +128,13 @@ def ancuti_fusion_spatial(img: jnp.ndarray, mesh: Mesh,
         norm = w1 + w2 + 2.0 * _W_EPS
         w1n = (w1 + _W_EPS) / norm
         w2n = (w2 + _W_EPS) / norm
+
+        if levels == 1:
+            # single-level blend degenerates to a weighted average (the
+            # single-device blend_pyramids with levels=1); no pyramids
+            out = jnp.stack(
+                [w1n * wb[c] + w2n * cl[c] for c in range(3)], axis=-1)
+            return jnp.clip(out, 0.0, 1.0)
 
         # 8 fine planes rows-first: 2 inputs x 3 channels + 2 weights
         fine = jnp.stack(list(wb) + list(cl) + [w1n, w2n], axis=1)

@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from underwater_image_enhancement_tpu.ops import colorspace as cs
-from underwater_image_enhancement_tpu.ops.airlight import _level_plan
+from underwater_image_enhancement_tpu.ops.airlight import quadtree_descend
 from underwater_image_enhancement_tpu.ops.boxfilter import _window_sum
 from underwater_image_enhancement_tpu.ops.edges import canny_u8
 from underwater_image_enhancement_tpu.ops.histeq import _clahe_luts
@@ -124,10 +124,21 @@ def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Bounded-hysteresis Canny of a row-sharded u8 plane, bit-equal to the
     global `iters`-round propagation: halo = iters + 2 covers the sobel/NMS
     reach (2 rows) plus the longest strong->pixel chain (iters rows), so
-    every kept row sees exactly the context the global computation uses."""
+    every kept row sees exactly the context the global computation uses.
+    valid_rows zeroes the gradient magnitude on the replicate rows BEYOND
+    the globe (edge shards), so border-row NMS reads magnitude 0 and
+    hysteresis cannot seed from phantom halo gradients — without it the
+    first/last global rows diverged from the single-device op."""
     h = iters + 2
+    Hl = gray_u8.shape[0]
+    n = lax.axis_size(AX)
+    s0 = lax.axis_index(AX) * Hl
     ext = _halo(gray_u8, h, edge="edge")
-    e = canny_u8(ext, 50, 150, hysteresis_iters=iters, use_pallas=False)
+    # ext row t <-> global row s0 - h + t; valid: 0 <= global < Hl*n
+    r0 = jnp.maximum(h - s0, 0)
+    r1 = jnp.minimum(Hl * n - s0 + h, Hl + 2 * h)
+    e = canny_u8(ext, 50, 150, hysteresis_iters=iters, use_pallas=False,
+                 valid_rows=(r0, r1))
     return e[h:-h]
 
 
@@ -153,49 +164,7 @@ def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 16):
         part = jnp.sum(strip[:, :, None, :] * mask[None, None], axis=-1)
         return lax.psum(part, AX)                        # (7, 3, 3)
 
-    def cond(state):
-        _, _, h, w = state
-        return (h > 1) & (w > 1)
-
-    def body(state):
-        r0, c0, h, w = state
-        mh, mw = h // 2, w // 2
-        rows = jnp.stack([r0, r0 + mh, r0 + h])
-        cols = jnp.stack([c0, c0 + mw, c0 + w])
-        grid = corners(rows, cols)
-
-        def box(ri, ci, rj, cj):
-            return (grid[:, rj, cj] - grid[:, ri, cj]
-                    - grid[:, rj, ci] + grid[:, ri, ci])
-
-        sums = jnp.stack([box(0, 0, 1, 1), box(0, 1, 1, 2),
-                          box(1, 0, 2, 1), box(1, 1, 2, 2)])
-        ns = jnp.stack([mh * mw, mh * (w - mw), (h - mh) * mw,
-                        (h - mh) * (w - mw)]).astype(jnp.float32)
-        sr, sg, sb = sums[:, 0], sums[:, 1], sums[:, 2]
-        s2r, s2g, s2b, se = sums[:, 3], sums[:, 4], sums[:, 5], sums[:, 6]
-        t1 = (sr + sg + sb) / (3.0 * ns)
-        t2 = (sb + sg - 2.0 * sr) / ns
-        var = lambda s1, s2: s2 / ns - (s1 / ns) ** 2
-        t3 = (var(sr, s2r) + var(sg, s2g) + var(sb, s2b)) / 3.0
-        qs = t1 + t2 - t3 - se / ns
-        kk = jnp.argmax(qs)
-        cand = jnp.stack([
-            jnp.stack([r0, c0, mh, mw]),
-            jnp.stack([r0, c0 + mw, mh, w - mw]),
-            jnp.stack([r0 + mh, c0, h - mh, mw]),
-            jnp.stack([r0 + mh, c0 + mw, h - mh, w - mw]),
-        ])
-        sel = cand[kk]
-        return sel[0], sel[1], sel[2], sel[3]
-
-    z = jnp.int32(0)
-    state = (z, z, jnp.int32(H), jnp.int32(W))
-    for _ in range(len(_level_plan(H, W, 1))):
-        nxt = body(state)
-        act = cond(state)
-        state = tuple(jnp.where(act, n_, s_) for n_, s_ in zip(nxt, state))
-    r0, c0, h, w = state
+    r0, c0, h, w = quadtree_descend(corners, H, W, 1)
 
     # brightest pixel in the final box: global argmax of r+g+b with the
     # flattened first-index tie rule (np.argmax order)
