@@ -91,6 +91,11 @@ def _cmd_six(args) -> None:
     for p, img in loaded:
         groups.setdefault(img.shape, []).append((p, img))
 
+    # bs == 1 dispatches the UNBATCHED program: vmap (even over B=1) traces
+    # with BatchTracers, which disables the Pallas fast paths and lowers the
+    # quadtree's lax.conds to selects — the single-image program is the
+    # fast path the default batch size is chosen for
+    six_single = jax.jit(lambda im: six_strategy_single(im, fast=args.fast))
     six_batched = jax.jit(
         jax.vmap(lambda im: six_strategy_single(im, fast=args.fast)),
         static_argnames=(),
@@ -102,9 +107,14 @@ def _cmd_six(args) -> None:
             chunk = items[i:i + bs]
             t0 = time.time()
             try:
-                batch = jnp.asarray(np.stack([im for _, im in chunk]))
-                outs_b, codes = six_batched(batch)
-                outs_b = np.asarray(outs_b)
+                if len(chunk) == 1:
+                    outs_1, code_1 = six_single(jnp.asarray(chunk[0][1]))
+                    outs_b = np.asarray(outs_1)[None]
+                    codes = np.asarray(code_1)[None]
+                else:
+                    batch = jnp.asarray(np.stack([im for _, im in chunk]))
+                    outs_b, codes = six_batched(batch)
+                    outs_b = np.asarray(outs_b)
             except Exception as e:
                 # failed rows per (image, strategy), six_stadigy.py:463-478
                 msg = str(e)[:50]

@@ -80,9 +80,11 @@ class EnhancementPredictor:
             from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
 
             with warnings.catch_warnings():
-                # the trainer's random-perceptual-trunk warning is irrelevant
-                # here: only params/batch_stats are taken from it
-                warnings.simplefilter("ignore")
+                # only the trainer's random-perceptual-trunk warning is
+                # irrelevant here (params/batch_stats alone are taken from
+                # it); other warnings must still surface
+                warnings.filterwarnings(
+                    "ignore", message="VGGTrainer: perceptual loss.*")
                 t = VGGTrainer(hidden_dim=self.model.hidden_dim,
                                image_size=self.input_size)
             t.load(checkpoint_path)

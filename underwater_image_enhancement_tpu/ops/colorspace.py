@@ -348,14 +348,23 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
     impl: "pallas" runs the whole conversion as one fused VMEM kernel with
     the GAMMA/CBRT tables as lane gathers (pallas_kernels.lab_forward_planes
     — bit-identical); "xla" is the surrogate-arithmetic path; "auto" picks
-    pallas on the TPU backend for 2-D planes."""
+    pallas on the TPU backend (leading batch dims fold into rows — the
+    conversion is pointwise — so the surrogate path, whose jit-probed
+    corrections can be wrong under other codegen contexts such as eager
+    execution, never runs on TPU)."""
     if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu" and r.ndim == 2
-                else "xla")
-    if impl == "pallas" and r.ndim == 2:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
-        return pk.lab_forward_planes(r, g, b_)
+        if r.ndim == 2:
+            return pk.lab_forward_planes(r, g, b_)
+        if not pk.is_batched(r, g, b_):
+            shp = r.shape
+            flat = tuple(x.reshape(-1, shp[-1]) for x in (r, g, b_))
+            return tuple(o.reshape(shp)
+                         for o in pk.lab_forward_planes(*flat))
+        # vmap trace with extra explicit dims: fall through to XLA
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
     R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
@@ -385,10 +394,9 @@ def rgb_unit_to_lab_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
     """quantize_u8 + bit-exact RGB2LAB on float unit planes.  On TPU the
     quantize (clip + truncate) runs INSIDE the forward kernel, skipping the
     int32 planes' HBM roundtrip; identical outputs on every path."""
-    if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu" and r.ndim == 2
-                else "xla")
-    if impl == "pallas" and r.ndim == 2:
+    use_pallas = (jax.default_backend() == "tpu" and r.ndim == 2
+                  if impl == "auto" else impl == "pallas")
+    if use_pallas and r.ndim == 2:
         from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
         return pk.lab_forward_planes_unit(r, g, b_)
@@ -399,10 +407,9 @@ def rgb_unit_to_lab_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
 def lab_to_rgb_unit_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                            impl: str = "auto"):
     """Bit-exact LAB2RGB + u8_to_unit, fused in-kernel on TPU."""
-    if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu" and L.ndim == 2
-                else "xla")
-    if impl == "pallas" and L.ndim == 2:
+    use_pallas = (jax.default_backend() == "tpu" and L.ndim == 2
+                  if impl == "auto" else impl == "pallas")
+    if use_pallas and L.ndim == 2:
         from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
         return pk.lab_inverse_planes_unit(L, a, b)
@@ -444,14 +451,20 @@ def lab_to_rgb_u8_exact_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     """Bit-exact LAB2RGB on separate planes.  The abToXZ table is evaluated
     as pure integer arithmetic; the L->y/ify and inverse-gamma tables go
     through surrogate lookups ("xla") or packed in-VMEM lane gathers
-    ("pallas", bit-identical; "auto" = pallas on TPU for 2-D planes)."""
+    ("pallas", bit-identical; "auto" = pallas on TPU, leading batch dims
+    folded into rows)."""
     if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu" and L.ndim == 2
-                else "xla")
-    if impl == "pallas" and L.ndim == 2:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
-        return pk.lab_inverse_planes(L, a, b)
+        if L.ndim == 2:
+            return pk.lab_inverse_planes(L, a, b)
+        if not pk.is_batched(L, a, b):
+            shp = L.shape
+            flat = tuple(x.reshape(-1, shp[-1]) for x in (L, a, b))
+            return tuple(o.reshape(shp)
+                         for o in pk.lab_inverse_planes(*flat))
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
     L = L.astype(jnp.int32)

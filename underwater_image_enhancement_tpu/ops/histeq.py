@@ -39,8 +39,18 @@ def _histogram256(rows: jnp.ndarray) -> jnp.ndarray:
     matmul — 32 VPU compares/px + a trivial contraction, vs 512 ops/px for
     the flat 256-wide compare-reduce (and ~600x faster than scatter-add,
     which serializes).  One-hot entries are 0/1 (exact in bf16) and counts
-    accumulate in f32 (exact below 2^24), so the histogram is exact.
+    accumulate in f32, which is exact only below 2^24 — rows longer than
+    8M pixels are therefore chunked and the int32 partial counts summed,
+    so a 33MP single-tone frame still histograms exactly.
     """
+    N = rows.shape[1]
+    CHUNK = 1 << 23
+    if N > CHUNK:
+        total = None
+        for s in range(0, N, CHUNK):
+            part = _histogram256(rows[:, s:s + CHUNK])
+            total = part if total is None else total + part
+        return total
     bins = jnp.arange(16, dtype=jnp.int32)
     hi_oh = ((rows >> 4)[:, :, None] == bins).astype(jnp.bfloat16)
     lo_oh = ((rows & 15)[:, :, None] == bins).astype(jnp.bfloat16)

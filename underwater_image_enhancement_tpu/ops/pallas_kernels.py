@@ -35,9 +35,12 @@ def is_batched(*xs) -> bool:
     here assume unbatched operands (refs are indexed positionally), so
     dispatchers route batched traces to their XLA formulations instead —
     except the pointwise LAB kernels, which carry a custom_vmap rule."""
-    from jax._src.interpreters.batching import BatchTracer
+    try:
+        from jax._src.interpreters.batching import BatchTracer
 
-    return any(isinstance(x, BatchTracer) for x in xs)
+        return any(isinstance(x, BatchTracer) for x in xs)
+    except ImportError:  # private module moved: fall back to the type name
+        return any(type(x).__name__ == "BatchTracer" for x in xs)
 
 
 def _dilate8_local(e: jnp.ndarray) -> jnp.ndarray:

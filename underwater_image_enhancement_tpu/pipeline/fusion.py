@@ -102,7 +102,9 @@ def ancuti_fusion(img: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 3) or (B, H, W, 3) [0,1] -> fused enhancement."""
     if img.ndim == 4:
         return jax.vmap(ancuti_fusion)(img)
-    p = tuple(jax.lax.optimization_barrier(img[..., c]) for c in range(3))
+    from underwater_image_enhancement_tpu.ops.layout import split_planes
+
+    p = split_planes(img)
     wb = gray_world_wb_planes(p)
     cl = clahe_enhancement_planes(wb, 2.0, 8, 8)
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from underwater_image_enhancement_tpu.ops.layout import split_planes as _split
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
 from underwater_image_enhancement_tpu.ops.airlight import (
     quadtree_airlight_exact_planes,
@@ -30,10 +31,6 @@ def _per_image(fn, img):
         return fn(img)
     return jax.vmap(fn)(img)
 
-
-def _split(img):
-    """NHWC -> materialized channel planes (see module docstring)."""
-    return tuple(jax.lax.optimization_barrier(img[..., c]) for c in range(3))
 
 
 def _airlight(p, method):

@@ -20,6 +20,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from underwater_image_enhancement_tpu.ops.layout import split_planes as _split
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
 from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight_exact_planes
 from underwater_image_enhancement_tpu.utils.config import DEFAULT_STRATEGIES
@@ -31,9 +32,6 @@ def _per_image(fn, img):
         return fn(img)
     return jax.vmap(fn)(img)
 
-
-def _split(img):
-    return tuple(jax.lax.optimization_barrier(img[..., c]) for c in range(3))
 
 
 def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,

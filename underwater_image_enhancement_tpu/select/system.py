@@ -42,11 +42,14 @@ from underwater_image_enhancement_tpu.utils.config import Config
 _LABEL_ORDER = tuple(STRATEGY_FNS)
 
 
-@partial(jax.jit, static_argnames=("weights",))
-def _label_batch(imgs: jnp.ndarray, weights: tuple):
+@partial(jax.jit, static_argnames=("weights", "return_all"))
+def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True):
     """Phase-1 inner loop as ONE compiled program for a same-shape batch:
     79-dim features + all 5 strategies + weighted quality scores + argmax
-    (main.py:116-146).  weights: hashable ((name, w), ...) tuple."""
+    (main.py:116-146).  weights: hashable ((name, w), ...) tuple.
+    return_all=False selects the winning image ON DEVICE and returns
+    (B, H, W, 3) instead of the (B, 5, H, W, 3) stack — a 5x smaller
+    device->host transfer for the default save-best-only Phase 1."""
     from underwater_image_enhancement_tpu.features.full import extract_batch
     from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
 
@@ -56,7 +59,11 @@ def _label_batch(imgs: jnp.ndarray, weights: tuple):
     scores = comprehensive_batch(flat, dict(weights)).reshape(B, S)
     feats = extract_batch(imgs)
     best = jnp.argmax(scores, axis=1)
-    return feats, scores, best, stacks
+    if return_all:
+        return feats, scores, best, stacks
+    best_imgs = jnp.take_along_axis(
+        stacks, best[:, None, None, None, None], axis=1)[:, 0]
+    return feats, scores, best, best_imgs
 
 
 @dataclass
@@ -81,22 +88,24 @@ class SelfSupervisedSystem:
 
     # ---------------- Phase 1 ----------------
 
-    def _label_batch_np(self, imgs: np.ndarray):
+    def _label_batch_np(self, imgs: np.ndarray, return_all: bool = True):
         """Run the fused Phase-1 program on a same-shape (B, H, W, 3) batch.
 
-        Returns numpy (feats (B,79), scores (B,5), best (B,), stacks
-        (B,5,H,W,3)).  ONE device dispatch for features + all 5 strategies +
-        weighted scoring (the hot loop of main.py:63-196; the reference pays
-        1 + 5x2 full-image passes per image on the host)."""
+        Returns numpy (feats (B,79), scores (B,5), best (B,), stacks) where
+        stacks is (B,5,H,W,3) or the device-selected winners (B,H,W,3) when
+        return_all=False.  ONE device dispatch for features + all 5
+        strategies + weighted scoring (the hot loop of main.py:63-196; the
+        reference pays 1 + 5x2 full-image passes per image on the host)."""
         frozen = tuple(sorted(self.config.quality_weights.items()))
-        feats, scores, best, stacks = _label_batch(jnp.asarray(imgs), frozen)
+        feats, scores, best, stacks = _label_batch(jnp.asarray(imgs), frozen,
+                                                   return_all)
         return (np.asarray(feats), np.asarray(scores),
                 np.asarray(best), np.asarray(stacks))
 
     def label_image(self, img: np.ndarray) -> Tuple[np.ndarray, DatasetItem]:
         """Run all strategies + scoring for one image (main.py:116-164)."""
-        feats, scores, best, stacks = self._label_batch_np(
-            np.asarray(img)[None])
+        feats, scores, best, winners = self._label_batch_np(
+            np.asarray(img)[None], return_all=False)
         names = [STRATEGY_DISPLAY[k] for k in _LABEL_ORDER]
         all_scores = {nm: float(s) for nm, s in zip(names, scores[0])}
         k = int(best[0])
@@ -104,7 +113,7 @@ class SelfSupervisedSystem:
             filename="", features=feats[0], best_strategy=names[k],
             best_score=float(scores[0, k]), all_scores=all_scores,
         )
-        return stacks[0, k], item
+        return winners[0], item
 
     def build_dataset(self, log=print, batch_size: int = 8) -> List[Dict]:
         """Phase 1 over config.image_folder; returns CSV rows
@@ -113,7 +122,25 @@ class SelfSupervisedSystem:
         self.config.create_folders()
         files = uio.collect_images(self.config.image_folder)
         names = [STRATEGY_DISPLAY[k] for k in _LABEL_ORDER]
-        loaded: List[Tuple[Path, np.ndarray]] = []
+        rows_by_path: Dict[Path, Dict] = {}
+        items_by_path: Dict[Path, DatasetItem] = {}
+        order: List[Path] = []
+
+        # STREAMING decode with shape grouping: images accumulate in
+        # per-shape pending buffers that flush as soon as a full batch is
+        # ready, so host memory is bounded by n_shapes x batch_size frames
+        # (a decode-everything-first version held the whole dataset in RAM)
+        pending: Dict[tuple, List[Tuple[Path, np.ndarray]]] = {}
+        return_all = bool(self.config.save_all_enhanced)
+
+        def flush(chunk):
+            batch = np.stack([im for _, im in chunk])
+            feats, scores, best, stacks = self._label_batch_np(
+                batch, return_all=return_all)
+            self._emit_chunk(chunk, feats, scores, best, stacks, names,
+                             return_all, rows_by_path, items_by_path)
+
+        bs = max(1, batch_size)
         for path in files:
             img = uio.imread_unit(str(path))
             if img is None:
@@ -122,52 +149,19 @@ class SelfSupervisedSystem:
             if img.shape[0] < 10 or img.shape[1] < 10:
                 log(f"warning: {path.name} too small, skipping")
                 continue
-            loaded.append((path, img))
-        groups: Dict[tuple, List[Tuple[Path, np.ndarray]]] = {}
-        for path, img in loaded:
-            groups.setdefault(img.shape, []).append((path, img))
-
-        rows_by_path: Dict[Path, Dict] = {}
-        items_by_path: Dict[Path, DatasetItem] = {}
-        for shape, entries in groups.items():
-            bs = min(len(entries), max(1, batch_size))
-            for i in range(0, len(entries), bs):
-                chunk = entries[i:i + bs]
-                batch = np.stack([im for _, im in chunk])
-                feats, scores, best, stacks = self._label_batch_np(batch)
-                for j, (path, _) in enumerate(chunk):
-                    k = int(best[j])
-                    item = DatasetItem(
-                        filename=path.name, features=feats[j],
-                        best_strategy=names[k],
-                        best_score=float(scores[j, k]),
-                        all_scores={nm: float(s)
-                                    for nm, s in zip(names, scores[j])},
-                    )
-                    items_by_path[path] = item
-                    uio.imwrite_unit(
-                        str(Path(self.config.strategy_folder)
-                            / f"{path.stem}_{item.best_strategy}.png"),
-                        stacks[j, k],
-                    )
-                    if self.config.save_all_enhanced:  # config.py:123
-                        for m, nm in enumerate(names):
-                            if m == k:
-                                continue
-                            uio.imwrite_unit(
-                                str(Path(self.config.strategy_folder)
-                                    / f"{path.stem}_{nm}.png"),
-                                stacks[j, m],
-                            )
-                    row = {"filename": path.name,
-                           "best_strategy": item.best_strategy,
-                           "best_score": item.best_score}
-                    row.update(item.all_scores)
-                    rows_by_path[path] = row
+            order.append(path)
+            buf = pending.setdefault(img.shape, [])
+            buf.append((path, img))
+            if len(buf) == bs:
+                flush(buf)
+                buf.clear()
+        for buf in pending.values():
+            if buf:
+                flush(buf)
 
         # emit rows/dataset in the original folder order (reference order)
         csv_rows: List[Dict] = []
-        for path, _ in loaded:
+        for path in order:
             if path in rows_by_path:
                 csv_rows.append(rows_by_path[path])
                 self.dataset.append(items_by_path[path])
@@ -175,6 +169,39 @@ class SelfSupervisedSystem:
             self._write_csv(csv_rows)
             self._save_dataset()
         return csv_rows
+
+    def _emit_chunk(self, chunk, feats, scores, best, stacks, names,
+                    return_all, rows_by_path, items_by_path):
+        for j, (path, _) in enumerate(chunk):
+            k = int(best[j])
+            item = DatasetItem(
+                filename=path.name, features=feats[j],
+                best_strategy=names[k],
+                best_score=float(scores[j, k]),
+                all_scores={nm: float(s)
+                            for nm, s in zip(names, scores[j])},
+            )
+            items_by_path[path] = item
+            winner = stacks[j, k] if return_all else stacks[j]
+            uio.imwrite_unit(
+                str(Path(self.config.strategy_folder)
+                    / f"{path.stem}_{item.best_strategy}.png"),
+                winner,
+            )
+            if return_all:  # config.py:123 SAVE_ALL_ENHANCED
+                for m, nm in enumerate(names):
+                    if m == k:
+                        continue
+                    uio.imwrite_unit(
+                        str(Path(self.config.strategy_folder)
+                            / f"{path.stem}_{nm}.png"),
+                        stacks[j, m],
+                    )
+            row = {"filename": path.name,
+                   "best_strategy": item.best_strategy,
+                   "best_score": item.best_score}
+            row.update(item.all_scores)
+            rows_by_path[path] = row
 
     def _write_csv(self, rows: List[Dict]) -> None:
         import csv

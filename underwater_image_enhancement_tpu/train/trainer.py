@@ -73,6 +73,13 @@ def restore_checkpoint(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
 class _BaseTrainer:
     """Shared epoch/checkpoint/early-stop machinery."""
 
+    def _shard(self, x):
+        """Shard a batch over the data-parallel mesh (identity without
+        one) — shared by both trainers' run_epoch loops."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, data_parallel_sharding(self.mesh)(x))
+
     def __init__(self):
         self.train_losses: list = []
         self.val_losses: list = []
@@ -198,11 +205,6 @@ class MLPTrainer(_BaseTrainer):
             total += float(loss)
             n += 1
         return total / max(n, 1)
-
-    def _shard(self, x):
-        if self.mesh is None:
-            return x
-        return jax.device_put(x, data_parallel_sharding(self.mesh)(x))
 
     def predict_params(self, feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return self.model.apply(self.params, feats)
@@ -373,11 +375,6 @@ class VGGTrainer(_BaseTrainer):
             return loss
 
         return ev
-
-    def _shard(self, x):
-        if self.mesh is None:
-            return x
-        return jax.device_put(x, data_parallel_sharding(self.mesh)(x))
 
     def run_epoch(self, batches: Iterable, train: bool) -> float:
         from underwater_image_enhancement_tpu.features.basic import extract_basic_batch
