@@ -163,6 +163,26 @@ def test_cli_six_mixed_sizes_and_batching(tmp_path, rng):
     assert len(pngs) == 4 * 6
 
 
+def test_cli_six_streams_decodes(tmp_path, rng, monkeypatch):
+    """Decode buffering is bounded: a full same-shape batch flushes (writes
+    its outputs) BEFORE later files are decoded, matching build_dataset's
+    streaming pattern (select/system.py) instead of decode-everything-first."""
+    src = tmp_path / "stream"
+    for i in range(4):
+        uio.imwrite_unit(str(src / f"s{i}.png"),
+                         rng.random((32, 40, 3)).astype(np.float32))
+    events = []
+    real_read, real_write = uio.imread_unit, uio.imwrite_unit
+    monkeypatch.setattr(uio, "imread_unit",
+                        lambda p: (events.append("r"), real_read(p))[1])
+    monkeypatch.setattr(uio, "imwrite_unit",
+                        lambda p, im: (events.append("w"), real_write(p, im))[1])
+    main(["six", "--input", str(src), "--output", str(tmp_path / "o"),
+          "--fast", "--batch-size", "2"])
+    # reads: 4; first write must land after exactly 2 reads
+    assert events.index("w") == 2, events
+
+
 def test_cli_fusion(img_folder, tmp_path):
     out = tmp_path / "fusion"
     main(["fusion", "--input", str(img_folder), "--output", str(out)])

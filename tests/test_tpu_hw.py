@@ -1,0 +1,65 @@
+"""Real-TPU hardware gates, run in a subprocess.
+
+The suite forces the CPU backend (tests/conftest.py), so Pallas kernels
+normally run in interpret mode — which cannot catch Mosaic-specific
+regressions (e.g. a compiler starting to FMA-contract the CLAHE bilinear
+chain would shift exact .5 ties in cvRound; the in-kernel
+optimization_barrier fix is unavailable because the primitive has no
+Mosaic lowering, see ops/pallas_kernels.py:_cv_bilinear_f32).  This test
+re-runs the bit-identity gates on the REAL chip via a subprocess with the
+axon plugin; it skips cleanly when no TPU is attached (e.g. plain CI).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_AXON_SITE = "/root/.axon_site"
+
+_SCRIPT = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.devices()[0].platform != "cpu", "expected a real TPU device"
+
+from underwater_image_enhancement_tpu.ops.histeq import (
+    clahe_enhancement_planes, clahe_u8)
+
+rng = np.random.default_rng(7)
+# non-pow2 shapes -> non-dyadic f32 interpolation weights, the regime where
+# FMA contraction can shift .5 ties (and where round-2 measured +-1 LSB
+# drift on hardware for the XLA surrogate LAB path)
+for shape, tiles in [((137, 211), (8, 8)), ((97, 260), (8, 8))]:
+    x = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
+    a = np.asarray(clahe_u8(x, 2.0, tiles[0], tiles[1], impl="pallas"))
+    b = np.asarray(clahe_u8(x, 2.0, tiles[0], tiles[1], impl="xla"))
+    np.testing.assert_array_equal(a, b)
+
+# fused CLAHE+inverse-LAB kernel == split path, on hardware
+img = (rng.integers(0, 256, (137, 211, 3)) / 255.0).astype(np.float32)
+planes = tuple(jnp.asarray(img[..., c]) for c in range(3))
+want = clahe_enhancement_planes(planes, 3.0, impl="split")
+got = clahe_enhancement_planes(planes, 3.0, impl="fused")
+for w, g in zip(want, got):
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+print("TPU_HW_OK")
+"""
+
+
+def test_clahe_tie_inputs_bit_identical_on_hw():
+    if not os.path.isdir(_AXON_SITE):
+        pytest.skip("no axon TPU plugin on this machine")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = f"{repo}:{_AXON_SITE}"
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], env=env, cwd="/tmp",
+        capture_output=True, text=True, timeout=900,
+    )
+    if proc.returncode != 0 and "Backend 'axon'" in proc.stderr:
+        pytest.skip("axon TPU backend not reachable")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU_HW_OK" in proc.stdout

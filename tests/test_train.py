@@ -82,6 +82,42 @@ def test_mlp_trainer_loss_decreases(tiny_dataset, tmp_path):
     assert (tmp_path / "training_history.json").exists()
 
 
+def test_mlp_feature_cache(tiny_dataset, tmp_path, monkeypatch):
+    """cache_features: one extraction pass; epochs consume cached per-index
+    features (no re-extraction) and the cached values equal direct
+    extraction of the un-augmented images."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.features import full as feats_mod
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, va = ds.split(0.75)
+    trainer = MLPTrainer(hidden_dim=32, num_blocks=1, lr=1e-2)
+    trainer.cache_features(ds, log=lambda *_: None)
+
+    # cached rows == direct extraction (allclose: vmap batch size changes
+    # XLA's reduction tiling, so f32 drift of a few ulps is expected)
+    img0 = ds.load_pair(0)[0]
+    direct = np.asarray(feats_mod.extract_batch(jnp.asarray(img0)[None]))[0]
+    np.testing.assert_allclose(np.asarray(trainer._feature_cache[0]), direct,
+                               rtol=2e-5, atol=1e-4)
+
+    calls = {"n": 0}
+    real = feats_mod.extract_batch
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(feats_mod, "extract_batch", counting)
+    loss = trainer.run_epoch(
+        ds.batches(tr, 2, with_indices=True, seed=0), train=True)
+    assert np.isfinite(loss)
+    assert calls["n"] == 0  # every batch hit the cache
+
+
 def test_mlp_checkpoint_resume(tiny_dataset, tmp_path):
     from underwater_image_enhancement_tpu.train.data import PairedImageDataset
     from underwater_image_enhancement_tpu.train.trainer import MLPTrainer

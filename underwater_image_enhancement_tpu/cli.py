@@ -75,21 +75,9 @@ def _cmd_six(args) -> None:
         return
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
-    rows = []
+    rows_by_path: dict = {}
     t_start = time.time()
-
-    # group same-shape images so they run as one vmapped program per group
-    # (one compile per distinct shape, device kept busy across the batch)
-    loaded = []
-    for p in files:
-        img = uio.imread_unit(str(p))
-        if img is None:
-            print(f"  unreadable: {p.name}")
-            continue
-        loaded.append((p, img))
-    groups: dict = {}
-    for p, img in loaded:
-        groups.setdefault(img.shape, []).append((p, img))
+    n_total = len(files)
 
     # bs == 1 dispatches the UNBATCHED program: vmap (even over B=1) traces
     # with BatchTracers, which disables the Pallas fast paths and lowers the
@@ -101,50 +89,77 @@ def _cmd_six(args) -> None:
         static_argnames=(),
     )
     done = 0
-    for shape, items in groups.items():
-        bs = min(len(items), max(1, int(args.batch_size)))
-        for i in range(0, len(items), bs):
-            chunk = items[i:i + bs]
-            t0 = time.time()
-            try:
-                if len(chunk) == 1:
-                    outs_1, code_1 = six_single(jnp.asarray(chunk[0][1]))
-                    outs_b = np.asarray(outs_1)[None]
-                    codes = np.asarray(code_1)[None]
-                else:
-                    batch = jnp.asarray(np.stack([im for _, im in chunk]))
-                    outs_b, codes = six_batched(batch)
-                    outs_b = np.asarray(outs_b)
-            except Exception as e:
-                # failed rows per (image, strategy), six_stadigy.py:463-478
-                msg = str(e)[:50]
-                for p, _ in chunk:
-                    print(f"  failed: {p.name} - {msg}")
-                    for name in SIX_ORDER:
-                        rows.append({
-                            "filename": p.name, "image_type": "unknown",
-                            "strategy": name, "status": "failed",
-                            "output_path": f"Error: {msg}",
-                            "processing_time": "N/A",
-                        })
-                done += len(chunk)
-                continue
-            dt = time.time() - t0
-            for j, (p, _) in enumerate(chunk):
-                cast_name = cast_mod.CAST_NAMES[int(codes[j])]
-                for k, name in enumerate(SIX_ORDER):
-                    dst = outdir / f"{p.stem}_{name}.png"
-                    uio.imwrite_unit(str(dst), outs_b[j, k])
-                    rows.append({
-                        "filename": p.name, "image_type": cast_name,
-                        "strategy": name, "status": "success",
-                        "output_path": str(dst),
-                        "processing_time": f"{dt / len(chunk):.2f}s",
-                    })
-                done += 1
-                eta = (time.time() - t_start) / done * (len(loaded) - done)
-                print(f"[{done}/{len(loaded)}] {p.name} ({cast_name}) "
-                      f"eta {eta/60:.1f}m")
+
+    def process_chunk(chunk):
+        nonlocal done
+        t0 = time.time()
+        try:
+            if len(chunk) == 1:
+                outs_1, code_1 = six_single(jnp.asarray(chunk[0][1]))
+                outs_b = np.asarray(outs_1)[None]
+                codes = np.asarray(code_1)[None]
+            else:
+                batch = jnp.asarray(np.stack([im for _, im in chunk]))
+                outs_b, codes = six_batched(batch)
+                outs_b = np.asarray(outs_b)
+        except Exception as e:
+            # failed rows per (image, strategy), six_stadigy.py:463-478
+            msg = str(e)[:50]
+            for p, _ in chunk:
+                print(f"  failed: {p.name} - {msg}")
+                rows_by_path[p] = [{
+                    "filename": p.name, "image_type": "unknown",
+                    "strategy": name, "status": "failed",
+                    "output_path": f"Error: {msg}",
+                    "processing_time": "N/A",
+                } for name in SIX_ORDER]
+            done += len(chunk)
+            return
+        dt = time.time() - t0
+        for j, (p, _) in enumerate(chunk):
+            cast_name = cast_mod.CAST_NAMES[int(codes[j])]
+            img_rows = []
+            for k, name in enumerate(SIX_ORDER):
+                dst = outdir / f"{p.stem}_{name}.png"
+                uio.imwrite_unit(str(dst), outs_b[j, k])
+                img_rows.append({
+                    "filename": p.name, "image_type": cast_name,
+                    "strategy": name, "status": "success",
+                    "output_path": str(dst),
+                    "processing_time": f"{dt / len(chunk):.2f}s",
+                })
+            rows_by_path[p] = img_rows
+            done += 1
+            eta = (time.time() - t_start) / done * (n_total - done)
+            print(f"[{done}/{n_total}] {p.name} ({cast_name}) "
+                  f"eta {eta/60:.1f}m")
+
+    # STREAMING decode with shape grouping (same pattern as Phase 1,
+    # select/system.py:build_dataset): images accumulate in per-shape
+    # pending buffers that flush as soon as a full batch is ready, so host
+    # memory is bounded by n_shapes x batch_size frames — a
+    # decode-everything-first version held the whole folder in RAM
+    bs = max(1, int(args.batch_size))
+    pending: dict = {}
+    order = []
+    for p in files:
+        img = uio.imread_unit(str(p))
+        if img is None:
+            print(f"  unreadable: {p.name}")
+            n_total -= 1
+            continue
+        order.append(p)
+        buf = pending.setdefault(img.shape, [])
+        buf.append((p, img))
+        if len(buf) == bs:
+            process_chunk(buf)
+            buf.clear()
+    for buf in pending.values():
+        if buf:
+            process_chunk(buf)
+
+    # emit log rows in the original folder order (reference order)
+    rows = [r for p in order for r in rows_by_path.get(p, [])]
     tally = {}
     for r in rows:
         if r["status"] == "success":
@@ -231,8 +246,13 @@ def _cmd_waternet(args) -> None:
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
+        # restore against an abstract target so a checkpoint whose
+        # shapes/config don't match the constructed WaterNet errors here,
+        # not deep inside apply
+        target = jax.eval_shape(
+            lambda: wn.init_waternet(jax.random.PRNGKey(0), 64, model))
         variables = ocp.StandardCheckpointer().restore(
-            str(Path(args.checkpoint).resolve()))
+            str(Path(args.checkpoint).resolve()), target)
     else:
         print("no --checkpoint: using random-init weights (smoke/demo mode)")
         variables = wn.init_waternet(jax.random.PRNGKey(0), 64, model)
@@ -324,14 +344,21 @@ def _cmd_train_mlp(args) -> None:
     from underwater_image_enhancement_tpu.train.data import PairedImageDataset
     from underwater_image_enhancement_tpu.train.trainer import MLPTrainer
 
-    ds = PairedImageDataset(args.input, args.reference, target_size=256)
+    # no augmentation: the reference's EnhancementDataset has none
+    # (deep_learning_parameters.py:199-246)
+    ds = PairedImageDataset(args.input, args.reference, target_size=256,
+                            augment=False)
     tr_idx, va_idx = ds.split(0.8)
     trainer = MLPTrainer()
     if args.resume:
         trainer.load(args.resume)
+    # one batched 79-dim extraction pass, reused by every epoch
+    trainer.cache_features(ds)
     trainer.fit(
-        lambda: ds.batches(tr_idx, args.batch_size, seed=len(trainer.train_losses)),
-        lambda: ds.batches(va_idx, args.batch_size, shuffle=False),
+        lambda: ds.batches(tr_idx, args.batch_size,
+                           seed=len(trainer.train_losses), with_indices=True),
+        lambda: ds.batches(va_idx, args.batch_size, shuffle=False,
+                           with_indices=True),
         epochs=args.epochs, output_folder=args.output,
     )
 

@@ -107,12 +107,7 @@ def _edge_features(gray_unit_f, gray_u8):
     ]
 
 
-def _entropy_u8(gray_u8):
-    flat = gray_u8.reshape(-1)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    hist = jnp.sum(flat[None, :] == bins[:, None], axis=1).astype(jnp.float32)
-    p = hist / flat.shape[0]
-    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
+from underwater_image_enhancement_tpu.ops.histeq import shannon_entropy_u8 as _entropy_u8
 
 
 def _quality_features(gray_unit_f, gray_u8, hsv_unit_s):

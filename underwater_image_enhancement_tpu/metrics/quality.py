@@ -37,16 +37,7 @@ METRIC_NAMES = (
 )
 
 
-def _entropy_u8(gray_u8: jnp.ndarray) -> jnp.ndarray:
-    """Shannon entropy (base 2) over the discrete u8 gray values — matches
-    skimage.measure.shannon_entropy on u8-quantized data (which uses
-    np.unique counts; equivalent to a 256-bin histogram here)."""
-    flat = gray_u8.reshape(-1)
-    n = flat.shape[0]
-    bins = jnp.arange(256, dtype=jnp.int32)
-    hist = jnp.sum(flat[None, :] == bins[:, None], axis=1).astype(jnp.float32)
-    p = hist / n
-    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
+from underwater_image_enhancement_tpu.ops.histeq import shannon_entropy_u8 as _entropy_u8
 
 
 def assess_all(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:

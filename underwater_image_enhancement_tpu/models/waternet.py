@@ -220,6 +220,23 @@ def enhance_sharded(variables, imgs, mesh, model: Optional[WaterNet] = None,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    imgs = jnp.asarray(imgs)
+    batch = imgs.shape[0] if imgs.ndim == 4 else 1
+    if shard_rows:
+        rows = imgs.shape[-3]
+        if rows % n_dev != 0:
+            raise ValueError(
+                f"shard_rows: image rows ({rows}) must divide the mesh "
+                f"'{axis}' axis size ({n_dev})")
+        if rows // n_dev < 8:
+            raise ValueError(
+                f"shard_rows: {rows // n_dev} rows/shard is below the "
+                f"7-pixel conv halo; use more rows or fewer devices")
+    elif batch % n_dev != 0:
+        raise ValueError(
+            f"batch size ({batch}) must divide the mesh '{axis}' axis "
+            f"size ({n_dev}); pad the batch or use shard_rows=True")
     spec = P(None, axis) if shard_rows else P(axis)
     imgs = jax.device_put(jnp.asarray(imgs), NamedSharding(mesh, spec))
     return waternet_enhance(variables, imgs, model)

@@ -62,6 +62,26 @@ def _histogram256(rows: jnp.ndarray) -> jnp.ndarray:
     return hist.reshape(rows.shape[0], 256).astype(jnp.int32)
 
 
+def histogram256(rows: jnp.ndarray) -> jnp.ndarray:
+    """Public alias of the MXU one-hot-matmul histogram: (T, N) i32 -> (T, 256)."""
+    return _histogram256(rows)
+
+
+def shannon_entropy_u8(plane_u8: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (base 2) of a uint8-valued int32 plane — matches
+    skimage.measure.shannon_entropy on u8 data (np.unique counts == a
+    256-bin histogram here; quality_assessment.py:57-75 semantics).
+
+    Uses the two-level one-hot MXU histogram (32 ops/px) rather than a
+    256-wide compare-reduce (512 ops/px) — this sits inside the Phase-1
+    labeling program's inner loop, so the histogram formulation matters.
+    """
+    flat = plane_u8.reshape(-1)
+    hist = _histogram256(flat[None, :])[0].astype(jnp.float32)
+    p = hist / flat.shape[0]
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
+
+
 @jax.jit
 def equalize_hist_u8(channel_u8: jnp.ndarray) -> jnp.ndarray:
     """cv2.equalizeHist on a single uint8-valued int32 plane (H, W).

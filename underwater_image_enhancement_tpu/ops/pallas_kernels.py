@@ -141,6 +141,24 @@ def _lut_lookup_128(t0: jnp.ndarray, t1: jnp.ndarray, idx: jnp.ndarray):
     return jnp.where(idx < 128, g0, g1)
 
 
+def _cv_bilinear_f32(mapped, xa, ya):
+    """OpenCV f32 accumulation order:
+    (m0*xa1 + m1*xa)*ya1 + (m2*xa1 + m3*xa)*ya.
+
+    Unlike the XLA path (ops/histeq.py), there is NO optimization_barrier
+    here: the primitive has no Pallas/Mosaic TPU lowering (probed round 3 —
+    it crashes kernel compilation).  Bit-identity instead rests on Mosaic
+    not FMA-contracting separate mul/add ops today, which
+    tests/test_pallas.py::test_clahe_tie_inputs_bit_identical pins with
+    constructed exact-.5-tie inputs (runs on real TPU under UIE_TEST_TPU=1)
+    so a future compiler change is caught, not silently wrong."""
+    xa1 = jnp.float32(1.0) - xa
+    ya1 = jnp.float32(1.0) - ya
+    top = mapped[0] * xa1 + mapped[1] * xa
+    bot = mapped[2] * xa1 + mapped[3] * xa
+    return top * ya1 + bot * ya
+
+
 def _clahe_apply_kernel(vals_ref, luts_ref, ya_ref, xa_ref, out_ref):
     vals = jnp.clip(vals_ref[0], 0, 255)  # (th, twp) i32; pad lanes -> 0
     th, twp = vals.shape
@@ -154,14 +172,7 @@ def _clahe_apply_kernel(vals_ref, luts_ref, ya_ref, xa_ref, out_ref):
         ]
         mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
                       else cols[0])
-    xa = xa_ref[0]                   # (1, twp) f32
-    xa1 = jnp.float32(1.0) - xa
-    ya = ya_ref[0]                   # (th, 1) f32
-    ya1 = jnp.float32(1.0) - ya
-    # OpenCV f32 accumulation order: (m0*xa1 + m1*xa)*ya1 + (m2*xa1 + m3*xa)*ya
-    top = mapped[0] * xa1 + mapped[1] * xa
-    bot = mapped[2] * xa1 + mapped[3] * xa
-    v = top * ya1 + bot * ya
+    v = _cv_bilinear_f32(mapped, xa_ref[0], ya_ref[0])
     out_ref[0] = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
 
 
@@ -291,13 +302,7 @@ def _clahe_lab_kernel(vals_ref, a_ref, b_ref, luts_ref, ya_ref, xa_ref,
         ]
         mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
                       else cols[0])
-    xa = xa_ref[0]
-    xa1 = jnp.float32(1.0) - xa
-    ya = ya_ref[0]
-    ya1 = jnp.float32(1.0) - ya
-    top = mapped[0] * xa1 + mapped[1] * xa
-    bot = mapped[2] * xa1 + mapped[3] * xa
-    v = top * ya1 + bot * ya
+    v = _cv_bilinear_f32(mapped, xa_ref[0], ya_ref[0])
     L = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
 
     l2yf = l2yf_ref[...]

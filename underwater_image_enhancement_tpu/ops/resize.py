@@ -72,6 +72,11 @@ def _fixed_coeffs(dst: int, src: int):
 
     Border columns collapse to a single full-weight tap (fx reset to 0/1
     with the index clamped into range) — cv2's HResize xmax machinery."""
+    if src == 1:
+        # degenerate 1-px source: pure replication (min(s, src-2) would
+        # yield -1 and wrap the second tap to the last column)
+        z = np.zeros(dst, np.int32)
+        return z, np.full(dst, 2048, np.int32), z.copy()
     s, frac = _frac_f32(dst, src)
     frac = np.where(s < 0, np.float32(0.0), frac)
     s = np.maximum(s, 0)

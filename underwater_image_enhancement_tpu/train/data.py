@@ -104,8 +104,11 @@ class PairedImageDataset:
                 shuffle: bool = True, drop_remainder: bool = True,
                 seed: int = 0, process_index: int | None = None,
                 process_count: int | None = None,
-                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (imgs, refs) batches of `batch_size`.
+                with_indices: bool = False,
+                ) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Yield (imgs, refs) batches of `batch_size` — or
+        (indices, imgs, refs) with ``with_indices=True`` (the dataset-index
+        form consumed by MLPTrainer's per-index feature cache).
 
         Multi-host sharding (grain-style sharded file lists): every process
         runs the SAME seed-synchronized shuffle, then takes every
@@ -125,6 +128,11 @@ class PairedImageDataset:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         stop = len(order) - (len(order) % batch_size) if drop_remainder else len(order)
+        if process_count > 1:
+            # multi-host: always exclude the short remainder batch — a
+            # lone host yielding a smaller batch than its lockstep peers
+            # would shape-mismatch the data-parallel step
+            stop = len(order) - (len(order) % batch_size)
         starts = list(range(0, stop, batch_size))
         if process_count > 1:
             # equal batch counts per process keep hosts lockstep
@@ -137,7 +145,10 @@ class PairedImageDataset:
             pairs = [self.load_pair(int(j)) for j in chunk]
             imgs = np.stack([p[0] for p in pairs])
             refs = np.stack([p[1] for p in pairs])
-            yield imgs, refs
+            if with_indices:
+                yield chunk.astype(np.int64), imgs, refs
+            else:
+                yield imgs, refs
 
 
 def prefetch_to_device(iterator, size: int = 2):

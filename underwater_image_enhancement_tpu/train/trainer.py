@@ -153,6 +153,7 @@ class MLPTrainer(_BaseTrainer):
         self._step = self._build_step(stretch_mode)
         self._eval = self._build_eval(stretch_mode)
         self._rng = rng
+        self._feature_cache = None  # set by cache_features()
 
     def _loss_fn(self, params, imgs, refs, feats, dropout_rng, train,
                  stretch_mode):
@@ -189,12 +190,45 @@ class MLPTrainer(_BaseTrainer):
 
         return extract_batch(jnp.asarray(imgs))
 
+    def cache_features(self, dataset, batch_size: int = 32, log=print) -> None:
+        """One batched 79-dim extraction pass over the whole dataset, cached
+        per index — removes the dominant per-epoch cost of this trainer
+        (the reference re-extracts per item per epoch inside __getitem__,
+        deep_learning_parameters.py:234; round-2 did it per batch per epoch).
+
+        Features are computed on the UN-AUGMENTED images: the reference's
+        EnhancementDataset has no augmentation at all, and caching
+        canonical-orientation features keeps the pass valid across epochs
+        even when pixel-space flips are enabled for the loss.  Consumed by
+        run_epoch when batches carry dataset indices
+        (PairedImageDataset.batches(with_indices=True))."""
+        was_aug = getattr(dataset, "augment", False)
+        dataset.augment = False
+        try:
+            chunks = []
+            n = len(dataset)
+            for s in range(0, n, batch_size):
+                imgs = np.stack([dataset.load_pair(i)[0]
+                                 for i in range(s, min(s + batch_size, n))])
+                chunks.append(np.asarray(self._features(jnp.asarray(imgs))))
+            self._feature_cache = jnp.asarray(np.concatenate(chunks, axis=0))
+            log(f"cached features for {n} images")
+        finally:
+            dataset.augment = was_aug
+
     def run_epoch(self, batches: Iterable, train: bool) -> float:
         total, n = 0.0, 0
-        for imgs, refs in batches:
+        for item in batches:
+            if len(item) == 3:  # (dataset_indices, imgs, refs)
+                idx, imgs, refs = item
+            else:
+                idx, (imgs, refs) = None, item
             imgs = self._shard(jnp.asarray(imgs))
             refs = self._shard(jnp.asarray(refs))
-            feats = self._features(imgs)
+            if idx is not None and self._feature_cache is not None:
+                feats = self._shard(self._feature_cache[jnp.asarray(idx)])
+            else:
+                feats = self._features(imgs)
             if train:
                 self._rng, sub = jax.random.split(self._rng)
                 self.params, self.opt_state, loss = self._step(
