@@ -83,7 +83,7 @@ def test_cast_batched(underwater_img):
 
 def test_six_fast_mode_close_to_exact(underwater_img):
     """The throughput six variants (hist-fast percentiles, global-edge
-    quadtree, 16-round hysteresis, subsampled fast guided filter) must stay
+    quadtree, 8-round hysteresis, subsampled fast guided filter) must stay
     visually equivalent to the parity variants: >= 25 dB per strategy (the
     approximations can shift the airlight pick on synthetic noise; real
     degradation would land far below this)."""

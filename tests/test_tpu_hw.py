@@ -38,13 +38,41 @@ for shape, tiles in [((137, 211), (8, 8)), ((97, 260), (8, 8))]:
     b = np.asarray(clahe_u8(x, 2.0, tiles[0], tiles[1], impl="xla"))
     np.testing.assert_array_equal(a, b)
 
-# fused CLAHE+inverse-LAB kernel == split path, on hardware
+# fused CLAHE+inverse-LAB kernel == split path, on hardware: u8-identical;
+# the float encodings may differ 1 ulp because the final /255 runs in a
+# different program instance (XLA u8_to_unit vs in-kernel division)
 img = (rng.integers(0, 256, (137, 211, 3)) / 255.0).astype(np.float32)
 planes = tuple(jnp.asarray(img[..., c]) for c in range(3))
 want = clahe_enhancement_planes(planes, 3.0, impl="split")
 got = clahe_enhancement_planes(planes, 3.0, impl="fused")
 for w, g in zip(want, got):
+    assert np.abs(np.asarray(w) - np.asarray(g)).max() <= 1.3e-7
+
+# arithmetic INV_GAMMA surrogate == XLA surrogate path (bit-exact gate for
+# the in-kernel sqrt-chain lookup, ops/pallas_kernels.py probe notes)
+from underwater_image_enhancement_tpu.ops import colorspace as cs
+from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+L = jnp.asarray(rng.integers(0, 256, (256, 384), np.int32))
+a = jnp.asarray(rng.integers(0, 256, (256, 384), np.int32))
+b = jnp.asarray(rng.integers(0, 256, (256, 384), np.int32))
+got = pk.lab_inverse_planes(L, a, b)
+want = cs.lab_to_rgb_u8_exact_planes(L, a, b, impl="xla")
+for w, g in zip(want, got):
     np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+# throughput-tier forward LAB: L bit-exact; a/b within +-1 LSB on a tiny
+# fraction (the documented instance-instability envelope)
+rp = jnp.asarray((rng.integers(0, 256, (256, 384)) / 255.0).astype(np.float32))
+gp = jnp.asarray((rng.integers(0, 256, (256, 384)) / 255.0).astype(np.float32))
+bp = jnp.asarray((rng.integers(0, 256, (256, 384)) / 255.0).astype(np.float32))
+fL, fa, fb = (np.asarray(x) for x in pk.lab_forward_planes_unit_fast(rp, gp, bp))
+eL, ea, eb = (np.asarray(x) for x in pk.lab_forward_planes_unit(rp, gp, bp))
+np.testing.assert_array_equal(fL, eL)
+for f, e in ((fa, ea), (fb, eb)):
+    d = np.abs(f.astype(np.int64) - e.astype(np.int64))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() <= 1e-3, (d > 0).mean()
 print("TPU_HW_OK")
 """
 

@@ -1,0 +1,250 @@
+"""Torch-weight import for the model_architectures.py backbones (D11).
+
+The reference builds its CNN predictor on ImageNet-pretrained torchvision
+resnet18 (model_architectures.py:13).  torchvision is not in this container,
+so the parity oracle is a minimal torch re-statement of the torchvision
+resnet18 feature graph (conv1/bn1/maxpool + 4 x 2 BasicBlocks + avgpool),
+run with the SAME random state_dict that load_torch_resnet18 imports.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_resnet18_modules():
+    """torchvision-graph resnet18 feature extractor (fc dropped, which is
+    exactly how the reference uses it: model_architectures.py:26)."""
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, inp, out, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(out)
+            self.conv2 = tnn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(out)
+            self.downsample = None
+            if stride != 1 or inp != out:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, out, 1, stride, bias=False),
+                    tnn.BatchNorm2d(out),
+                )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idn)
+
+    class Features(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(BasicBlock(64, 64),
+                                         BasicBlock(64, 64))
+            self.layer2 = tnn.Sequential(BasicBlock(64, 128, 2),
+                                         BasicBlock(128, 128))
+            self.layer3 = tnn.Sequential(BasicBlock(128, 256, 2),
+                                         BasicBlock(256, 256))
+            self.layer4 = tnn.Sequential(BasicBlock(256, 512, 2),
+                                         BasicBlock(512, 512))
+
+        def forward(self, x):
+            x = torch.relu(self.bn1(self.conv1(x)))
+            x = self.maxpool(x)
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+            return x.mean(dim=(2, 3))  # avgpool -> (B, 512)
+
+    return Features()
+
+
+class _FlaxBackbone:
+    """CNNParameterPredictor's backbone slice (stem + 8 blocks + pool),
+    applied with the imported variables — module call order matches
+    models/zoo.py so the auto-generated names line up."""
+
+    def __call__(self, variables, img):
+        import flax.linen as nn
+
+        from underwater_image_enhancement_tpu.models.zoo import ResNetBlock
+
+        class Backbone(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(64, (7, 7), strides=2, padding=3,
+                            use_bias=False)(x)
+                x = nn.BatchNorm(use_running_average=True)(x)
+                x = nn.relu(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+                for filters, strides in [(64, 1), (64, 1), (128, 2), (128, 1),
+                                         (256, 2), (256, 1), (512, 2),
+                                         (512, 1)]:
+                    x = ResNetBlock(filters, strides)(x, train=False)
+                return jnp.mean(x, axis=(1, 2))
+
+        keep = ["Conv_0", "BatchNorm_0"] + [f"ResNetBlock_{i}"
+                                            for i in range(8)]
+        sub = {
+            "params": {k: variables["params"][k] for k in keep},
+            "batch_stats": {k: variables["batch_stats"][k]
+                            for k in keep if k != "Conv_0"},
+        }
+        return Backbone().apply(sub, img)
+
+
+def test_resnet18_import_matches_torch():
+    """Imported torchvision-format weights reproduce the torch backbone's
+    features (validates the OIHW->HWIO transpose, BN scale/bias/stats
+    mapping, and the stem/stride/padding conventions)."""
+    from underwater_image_enhancement_tpu.models.zoo import (
+        CNNParameterPredictor,
+        load_torch_resnet18,
+    )
+
+    torch.manual_seed(0)
+    ref = _torch_resnet18_modules()
+    # randomize running stats away from (0, 1) so the BN mapping is exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    model = CNNParameterPredictor()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    imported = load_torch_resnet18(variables, ref.state_dict())
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(_FlaxBackbone()(imported, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    # full predictor still runs with the imported variables and produces
+    # in-range params (heads stay randomly initialized, like the reference
+    # keeps its own MLP on top of the pretrained trunk)
+    out = model.apply(imported, jnp.asarray(x), train=False)
+    from underwater_image_enhancement_tpu.models.zoo import SIX_PARAM_RANGES
+    for name, (lo, hi) in SIX_PARAM_RANGES.items():
+        v = np.asarray(out[name])
+        assert np.all(v >= lo) and np.all(v <= hi)
+
+
+def test_resnet18_npz_roundtrip(tmp_path):
+    """state_dict -> .npz artifact -> load_resnet18_npz round-trip."""
+    from underwater_image_enhancement_tpu.models.zoo import (
+        CNNParameterPredictor,
+        load_resnet18_npz,
+        load_torch_resnet18,
+    )
+
+    torch.manual_seed(1)
+    ref = _torch_resnet18_modules()
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    npz = tmp_path / "resnet18.npz"
+    np.savez(npz, **state)
+
+    model = CNNParameterPredictor()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    a = load_resnet18_npz(variables, str(npz))
+    b = load_torch_resnet18(variables, ref.state_dict())
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_zoo_trainer_end_to_end(tmp_path):
+    """ZooTrainer: 2 epochs on synthetic pairs — loss finite, params move,
+    checkpoint round-trips (the trainer wiring the reference lacks)."""
+    from underwater_image_enhancement_tpu.train.trainer import ZooTrainer
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.1, 0.9, (4, 32, 32, 3)).astype(np.float32)
+    refs = np.clip(imgs * 1.2, 0, 1).astype(np.float32)
+
+    tr = ZooTrainer(model_type="resnet", image_size=32, pretrained=None,
+                    lr=1e-3)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(tr.params)[0]).copy()
+    batches = lambda: iter([(imgs[:2], refs[:2]), (imgs[2:], refs[2:])])
+    hist = tr.fit(batches, batches, epochs=2, output_folder=str(tmp_path),
+                  log=lambda *a: None)
+    assert len(hist["train_loss"]) == 2
+    assert np.isfinite(hist["train_loss"]).all()
+    after = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
+    assert not np.array_equal(before, after)
+
+    tr2 = ZooTrainer(model_type="resnet", image_size=32, pretrained=None)
+    tr2.load(str(tmp_path / "best_model"))
+    p = tr2.predict_params(jnp.asarray(imgs))
+    assert np.isfinite(np.asarray(p["omega"])).all()
+
+
+def test_weights_autodiscovery(tmp_path, monkeypatch):
+    """$UIE_TPU_WEIGHTS/vgg16.npz is picked up by VGGTrainer by default
+    (VERDICT r2 item 4): backbone trunk filled, no random-trunk warning."""
+    import warnings
+
+    from underwater_image_enhancement_tpu.models.vgg import TORCH_CONV_IDX
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+    from underwater_image_enhancement_tpu.utils.weights import find_vgg16_npz
+
+    gen = np.random.default_rng(0)
+    plan = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]
+    state, in_ch = {}, 3
+    for ti, out_ch in zip(TORCH_CONV_IDX, plan):
+        state[f"{ti}.weight"] = gen.normal(
+            0, 0.05, (out_ch, in_ch, 3, 3)).astype(np.float32)
+        state[f"{ti}.bias"] = gen.normal(0, 0.05, (out_ch,)).astype(
+            np.float32)
+        in_ch = out_ch
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    np.savez(wdir / "vgg16.npz", **state)
+    monkeypatch.setenv("UIE_TPU_WEIGHTS", str(wdir))
+
+    assert find_vgg16_npz() == str(wdir / "vgg16.npz")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the random-trunk warning must NOT fire
+        t = VGGTrainer(hidden_dim=16, image_size=32, epochs=4)
+    np.testing.assert_allclose(
+        np.asarray(t.params["vgg"]["conv0"]["kernel"]),
+        state["0.weight"].transpose(2, 3, 1, 0), atol=0)
+
+    # absent artifact -> explicit None search result
+    monkeypatch.setenv("UIE_TPU_WEIGHTS", str(tmp_path / "empty"))
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+    assert find_vgg16_npz() is None
+
+
+@pytest.mark.skipif(
+    __import__("underwater_image_enhancement_tpu.utils.weights",
+               fromlist=["find_vgg16_npz"]).find_vgg16_npz() is None,
+    reason="no real vgg16.npz artifact installed "
+           "(run tools/fetch_vgg16_npz.py on an online box)")
+def test_real_vgg16_artifact_integration():
+    """When a real converted ImageNet VGG16 artifact is installed, the
+    predictor auto-loads it and produces finite in-range parameters."""
+    from underwater_image_enhancement_tpu.models.predictor import (
+        EnhancementPredictor,
+    )
+
+    pred = EnhancementPredictor()
+    img = np.random.default_rng(0).uniform(
+        0.05, 0.95, (120, 160, 3)).astype(np.float32)
+    params = pred.predict_parameters(img)
+    for k, v in params.items():
+        assert np.isfinite(v)

@@ -369,9 +369,10 @@ def _cmd_train_vgg(args) -> None:
 
     ds = PairedImageDataset(args.input, args.reference, target_size=224)
     tr_idx, va_idx = ds.split(0.85)
+    pv = None if args.pretrained_vgg == "none" else args.pretrained_vgg
     trainer = VGGTrainer(epochs=args.epochs,
                          compute_dtype="bfloat16" if args.bf16 else "float32",
-                         pretrained_vgg=args.pretrained_vgg)
+                         pretrained_vgg=pv)
     if args.resume:
         trainer.load(args.resume)
     trainer.fit(
@@ -476,9 +477,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (AMP analog)")
     p.add_argument("--resume", default=None)
-    p.add_argument("--pretrained-vgg", default=None,
+    p.add_argument("--pretrained-vgg", default="auto",
                    help=".npz from convert-vgg: ImageNet VGG16 backbone + "
-                        "perceptual-loss trunk (vgg_16_UIE.py:149,257)")
+                        "perceptual-loss trunk (vgg_16_UIE.py:149,257); "
+                        "'auto' searches $UIE_TPU_WEIGHTS then "
+                        "~/.cache/uie_tpu (tools/fetch_vgg16_npz.py output); "
+                        "'none' forces random init")
     p.set_defaults(fn=_cmd_train_vgg)
 
     p = sub.add_parser("fusion", help="Ancuti multi-scale fusion enhancement")

@@ -41,12 +41,18 @@ CLAMPS = {  # use_trained_model.py:74-79
 class EnhancementPredictor:
     def __init__(self, checkpoint_path: Optional[str] = None,
                  hidden_dim: int = 256, input_size: int = 224, seed: int = 0,
-                 pretrained_vgg: Optional[str] = None):
+                 pretrained_vgg: Optional[str] = "auto"):
         self.input_size = input_size
         self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
         img0 = jnp.zeros((1, input_size, input_size, 3))
         feats0 = jnp.zeros((1, 79))
         self.variables = self.model.init(jax.random.PRNGKey(seed), img0, feats0)
+        if pretrained_vgg == "auto":
+            # conventional artifact path (tools/fetch_vgg16_npz.py output);
+            # a loaded checkpoint below overrides the trunk anyway
+            from underwater_image_enhancement_tpu.utils.weights import find_vgg16_npz
+
+            pretrained_vgg = find_vgg16_npz()
         if pretrained_vgg is not None:
             # ImageNet VGG16 trunk from an offline-converted .npz
             # (vgg_16_UIE.py:149; heads stay whatever the checkpoint holds)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 SIX_PARAM_RANGES = {
@@ -158,6 +159,74 @@ class ViTParameterPredictor(nn.Module):
         x = nn.LayerNorm()(x)[:, 0]  # CLS token
         x = _shared_mlp(x, train)
         return _param_heads(x)
+
+
+def _bn_from_torch(params_bn, stats_bn, state, key):
+    import numpy as np
+
+    params_bn["scale"] = jnp.asarray(np.asarray(state[f"{key}.weight"]))
+    params_bn["bias"] = jnp.asarray(np.asarray(state[f"{key}.bias"]))
+    stats_bn["mean"] = jnp.asarray(np.asarray(state[f"{key}.running_mean"]))
+    stats_bn["var"] = jnp.asarray(np.asarray(state[f"{key}.running_var"]))
+
+
+def _conv_from_torch(params_conv, state, key):
+    import numpy as np
+
+    w = np.asarray(state[f"{key}.weight"])  # (O, I, H, W)
+    params_conv["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+
+
+def load_torch_resnet18(variables: Dict[str, Any],
+                        torch_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill CNNParameterPredictor's backbone from a torchvision resnet18
+    state_dict (model_architectures.py:13 ``resnet18(pretrained=...)``; the
+    reference drops ``fc`` for its own MLP+heads, :26-35, which stay as
+    initialized here).
+
+    torch_state keys: ``conv1.weight``, ``bn1.*``, ``layer{1-4}.{0,1}.*``
+    (tensors or numpy arrays).  Conv weights transpose OIHW -> HWIO; BN
+    weight/bias -> scale/bias params and running stats -> batch_stats.
+    Returns new ``{"params", "batch_stats"}`` variables."""
+    state = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+             for k, v in torch_state.items()}
+    # tree.map rebuilds every container, so in-place fills below cannot
+    # alias the caller's variables
+    params = jax.tree.map(lambda x: x, dict(variables["params"]))
+    stats = jax.tree.map(lambda x: x, dict(variables.get("batch_stats", {})))
+
+    _conv_from_torch(params["Conv_0"], state, "conv1")
+    _bn_from_torch(params["BatchNorm_0"], stats["BatchNorm_0"], state, "bn1")
+    for layer in range(1, 5):
+        for block in range(2):
+            i = (layer - 1) * 2 + block
+            pb = params[f"ResNetBlock_{i}"]
+            sb = stats[f"ResNetBlock_{i}"]
+            t = f"layer{layer}.{block}"
+            _conv_from_torch(pb["Conv_0"], state, f"{t}.conv1")
+            _bn_from_torch(pb["BatchNorm_0"], sb["BatchNorm_0"], state,
+                           f"{t}.bn1")
+            _conv_from_torch(pb["Conv_1"], state, f"{t}.conv2")
+            _bn_from_torch(pb["BatchNorm_1"], sb["BatchNorm_1"], state,
+                           f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in state:
+                _conv_from_torch(pb["Conv_2"], state, f"{t}.downsample.0")
+                _bn_from_torch(pb["BatchNorm_2"], sb["BatchNorm_2"], state,
+                               f"{t}.downsample.1")
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out
+
+
+def load_resnet18_npz(variables: Dict[str, Any], npz_path: str
+                      ) -> Dict[str, Any]:
+    """load_torch_resnet18 from an offline-converted .npz artifact
+    (``tools/fetch_vgg16_npz.py``'s resnet sibling: save the torch
+    state_dict arrays under their state_dict keys)."""
+    import numpy as np
+
+    return load_torch_resnet18(variables, dict(np.load(npz_path)))
 
 
 def create_model(model_type: str = "mlp", **kwargs) -> Any:

@@ -466,7 +466,7 @@ def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
 
 def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
                              tiles_x: int = 8, tiles_y: int = 8,
-                             impl: str = "auto"):
+                             impl: str = "auto", lab_fast: bool = False):
     """Channel-first LAB-L CLAHE roundtrip: (r, g, b) float planes -> same.
     Identical arithmetic to clahe_enhancement (bit-exact vs cv2); avoids
     channel-minor NHWC tensors in composed programs.
@@ -477,8 +477,19 @@ def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
     (1.45 vs 1.20 ms/leg at 1080p) because the inverse arithmetic — the
     expensive half — runs on the band-block frame's ~35% padding overhead
     instead of the cropped plane; kept as an option + bit-identity test.
-    On TPU the quantize/unit conversions run inside the LAB kernels."""
-    L, a, b = cs.rgb_unit_to_lab_planes(*planes)
+    On TPU the quantize/unit conversions run inside the LAB kernels.
+
+    lab_fast=True routes the forward conversion through the arithmetic-CBRT
+    throughput kernel (pallas_kernels.lab_forward_planes_unit_fast: +-1 LSB
+    on ~1e-4 of a/b pixels) — the six --fast tier opts in."""
+    from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+    if (lab_fast and jax.default_backend() == "tpu"
+            and planes[0].ndim == 2):
+        # vmap-safe: the kernel carries the row-folding custom_vmap rule
+        L, a, b = pk.lab_forward_planes_unit_fast(*planes)
+    else:
+        L, a, b = cs.rgb_unit_to_lab_planes(*planes)
     if impl == "auto":
         impl = "split"
     if impl == "fused" and L.ndim == 2:

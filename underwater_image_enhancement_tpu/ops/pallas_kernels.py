@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -279,58 +280,41 @@ def sat_rows(x: jnp.ndarray) -> jnp.ndarray:
     return out[:, :, :W] if Wp != W else out
 
 
-def _clahe_lab_kernel(vals_ref, a_ref, b_ref, luts_ref, ya_ref, xa_ref,
-                      l2yf_ref, ig_ref, r_ref, g_ref, bb_ref):
-    """CLAHE apply + bilinear interp + inverse LAB in ONE VMEM pass.
+def _make_clahe_lab_kernel(ig_corr=None):
+    def _clahe_lab_kernel(vals_ref, a_ref, b_ref, luts_ref, ya_ref, xa_ref,
+                          l2yf_ref, *rest):
+        """CLAHE apply + bilinear interp + inverse LAB in ONE VMEM pass.
 
-    Same arithmetic as _clahe_apply_kernel followed by _lab_inv_kernel on
-    the mapped L and the ride-along a/b band-blocks — the fused form skips
-    one HBM roundtrip of the L' plane and one kernel launch per CLAHE leg.
-    """
-    from underwater_image_enhancement_tpu.ops import lab_tables as lt
-    from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
+        Same arithmetic as _clahe_apply_kernel followed by _lab_inv_kernel
+        on the mapped L and the ride-along a/b band-blocks — the fused form
+        skips one HBM roundtrip of the L' plane and one kernel launch per
+        CLAHE leg."""
+        if ig_corr is None:
+            ig_ref, r_ref, g_ref, bb_ref = rest
+            ig = ig_ref[...]
+        else:
+            (r_ref, g_ref, bb_ref), ig = rest, None
+        vals = jnp.clip(vals_ref[0], 0, 255)
+        th, twp = vals.shape
+        mapped = []
+        for k in range(4):
+            t0 = jnp.broadcast_to(luts_ref[0, k, :128][None, :], (th, 128))
+            t1 = jnp.broadcast_to(luts_ref[0, k, 128:][None, :], (th, 128))
+            cols = [
+                _lut_lookup_128(t0, t1, vals[:, c:c + 128])
+                for c in range(0, twp, 128)
+            ]
+            mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
+                          else cols[0])
+        v = _cv_bilinear_f32(mapped, xa_ref[0], ya_ref[0])
+        L = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
 
-    vals = jnp.clip(vals_ref[0], 0, 255)
-    th, twp = vals.shape
-    mapped = []
-    for k in range(4):
-        t0 = jnp.broadcast_to(luts_ref[0, k, :128][None, :], (th, 128))
-        t1 = jnp.broadcast_to(luts_ref[0, k, 128:][None, :], (th, 128))
-        cols = [
-            _lut_lookup_128(t0, t1, vals[:, c:c + 128])
-            for c in range(0, twp, 128)
-        ]
-        mapped.append(jnp.concatenate(cols, axis=1) if len(cols) > 1
-                      else cols[0])
-    v = _cv_bilinear_f32(mapped, xa_ref[0], ya_ref[0])
-    L = jnp.clip(jnp.rint(v), 0, 255).astype(jnp.int32)
+        vals_out = _lab_inv_body(L, a_ref[0], b_ref[0], l2yf_ref[...],
+                                 _make_ig_lookup(ig_corr, ig))
+        for ref, v8 in zip((r_ref, g_ref, bb_ref), vals_out):
+            ref[0] = v8
 
-    l2yf = l2yf_ref[...]
-    ig = ig_ref[...]
-    a = a_ref[0]
-    b = b_ref[0]
-    word = _seg_gather(l2yf, L, 2)
-    y = word & 0xFFFF
-    ify = (word >> 16) & 0xFFFF
-    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
-    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
-
-    def ab_to_xz(vv):
-        vv = jnp.clip(vv, lt.MIN_AB, lt.BASE * 9 // 4)
-        lin = _ctrunc_div(vv * 108, 841) - lt.AB_LIN_K
-        cub = _ctrunc_div(_ctrunc_div(vv * vv, lt.BASE) * vv, lt.BASE)
-        return jnp.where(vv <= lt.AB_LIN_THRESH, lin, cub)
-
-    x = ab_to_xz(ify + adiv)
-    zz = ab_to_xz(ify - bdiv)
-    C = lt.COEFFS_INV
-    outs = (r_ref, g_ref, bb_ref)
-    for ch in range(3):
-        idx = _descale(
-            x * int(C[ch, 0]) + y * int(C[ch, 1]) + zz * int(C[ch, 2]), 14)
-        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
-        w = _seg_gather(ig, idx >> 2, 8)
-        outs[ch][0] = (w >> ((idx & 3) << 3)) & 0xFF
+    return _clahe_lab_kernel
 
 
 def clahe_lab_apply(Lp2, ap2, bp2, luts4, ya_np, xa_np,
@@ -363,7 +347,8 @@ def clahe_lab_apply(Lp2, ap2, bp2, luts4, ya_np, xa_np,
     if twp != tw:
         xa_b = _np.pad(xa_b, ((0, 0), (0, 0), (0, twp - tw)))
     xa_b = jnp.asarray(xa_b)
-    l2yf, ig = _lab_inv_tables()
+    corr = _corrections("inv_gamma")
+    tabs = _lab_inv_tables(with_ig=corr is None)
 
     blk_spec = pl.BlockSpec(
         (1, th, twp), lambda b, i, j: (b * (by * bx) + i * bx + j, 0, 0),
@@ -371,7 +356,7 @@ def clahe_lab_apply(Lp2, ap2, bp2, luts4, ya_np, xa_np,
     tab = lambda s: pl.BlockSpec((s, 128), lambda b, i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
     r, g, bb_out = pl.pallas_call(
-        _clahe_lab_kernel,
+        _make_clahe_lab_kernel(corr),
         grid=(B, by, bx),
         in_specs=[
             blk_spec, blk_spec, blk_spec,
@@ -382,12 +367,11 @@ def clahe_lab_apply(Lp2, ap2, bp2, luts4, ya_np, xa_np,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, twp), lambda b, i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            tab(2), tab(8),
-        ],
+        ] + [tab(t.shape[0]) for t in tabs],
         out_specs=[blk_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((B * NB, th, twp), jnp.int32)] * 3,
         interpret=_interpret(),
-    )(Lb, ab, bb, luts4, ya_b, xa_b, jnp.asarray(l2yf), jnp.asarray(ig))
+    )(Lb, ab, bb, luts4, ya_b, xa_b, *(jnp.asarray(t) for t in tabs))
 
     def unblock(x):
         return (x[:, :, :tw]
@@ -441,11 +425,145 @@ def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
     return (v + (1 << (n - 1))) >> n
 
 
-def _make_lab_fwd_kernel(unit_in: bool):
-    def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, cbrt_ref,
-                        L_ref, a_ref, bb_ref):
+# ---------------------------------------------------------------------------
+# Arithmetic table surrogates (probe-corrected, exact by construction)
+# ---------------------------------------------------------------------------
+#
+# The CBRT (3072-entry) and INV_GAMMA (4096-entry) tables cost 12- and
+# 8-segment lane gathers per lookup — the compute bottleneck of the LAB
+# kernels (docs/ROADMAP.md round-2 notes).  Both tables are rounded smooth
+# functions, so each lookup can instead be EVALUATED in ~15 deterministic
+# f32 ops (bit-trick-seeded Newton cube root + hardware sqrts — no
+# transcendental instruction, whose codegen could vary).  A one-time
+# per-backend probe runs the surrogate as its own Pallas program over the
+# full index range and bakes the sparse mismatch set into the kernels as
+# `idx == k` fixups, making the lookup exact by construction (same approach
+# as colorspace._corrected_lookup on the XLA side; probed on v5e:
+# cbrt = 5 (+1) corrections, inv_gamma = 0).
+
+
+def _rcbrt(t: jnp.ndarray) -> jnp.ndarray:
+    """f32 t^(-1/3): exponent bit-trick seed + 4 DIVISION-FREE Newton steps
+    r <- r*(4 - t*r^3)/3 (f32 division is a multi-op emulation on the VPU
+    — a divide-based Newton measured ~6x slower than the table gather it
+    was meant to replace).  Mul/add only, so per-element results are
+    independent of block shape; corrections absorb the residual ulps."""
+    t = jnp.maximum(t, np.float32(1e-30))
+    i = jax.lax.bitcast_convert_type(t, jnp.int32)
+    r = jax.lax.bitcast_convert_type(np.int32(0x54A21D2A) - i // 3,
+                                     jnp.float32)
+    third = np.float32(1.0 / 3.0)
+    four = np.float32(4.0)
+    for _ in range(4):
+        r = r * ((four - t * (r * r) * r) * third)
+    return r
+
+
+def _newton_cbrt(t: jnp.ndarray) -> jnp.ndarray:
+    """f32 cube root as t * (t^(-1/3))^2 — division-free."""
+    t = jnp.maximum(t, np.float32(1e-30))
+    r = _rcbrt(t)
+    return t * (r * r)
+
+
+def _cbrt_tab_surrogate(idx: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.CBRT_TAB[idx] candidate: round(labF(i/2040) * 2^15)."""
+    t = idx.astype(jnp.float32) * np.float32(1.0 / 2040.0)
+    f = jnp.where(t < np.float32(0.008856),
+                  t * np.float32(7.787) + np.float32(16.0 / 116.0),
+                  _newton_cbrt(t))
+    return jnp.round(f * np.float32(1 << 15)).astype(jnp.int32)
+
+
+def _ig_tab_surrogate(idx: jnp.ndarray) -> jnp.ndarray:
+    """lab_tables.INV_GAMMA_TAB[idx] candidate:
+    clip(round(255 * srgb_gamma(i/4096))) with
+    x^(1/2.4) = ((x^(1/3))^(1/4))^5 — Newton cbrt + 2 hardware sqrts."""
+    x = idx.astype(jnp.float32) * np.float32(1.0 / 4096.0)
+    s = jnp.sqrt(jnp.sqrt(_newton_cbrt(x)))      # x^(1/12)
+    s2 = s * s
+    p = s2 * s2 * s                              # x^(5/12) = x^(1/2.4)
+    g = np.float32(1.055) * p - np.float32(0.055)
+    g = jnp.where(x <= np.float32(0.0031308), x * np.float32(12.92), g)
+    return jnp.clip(jnp.round(np.float32(255.0) * g), 0, 255).astype(
+        jnp.int32)
+
+
+_ARITH_CORR: dict = {}
+# per-table kill switches (experiments/tests): False forces the gather path
+_ARITH_ENABLE = {"cbrt": True, "inv_gamma": True}
+
+
+def _corrections(name: str):
+    """Sparse (idx, delta) fixes making the surrogate equal the int table,
+    probed once per backend by running the surrogate as its own Pallas
+    program (same interpret setting and arithmetic sequence as the consuming
+    kernels).  Returns None — meaning use the gather path — if the
+    surrogate diverges on > 32 entries on this backend."""
+    import numpy as _np
+
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    if not _ARITH_ENABLE.get(name, True):
+        return None
+    key = (name, jax.default_backend(), _interpret())
+    if key not in _ARITH_CORR:
+        surrogate, table = {
+            "cbrt": (_cbrt_tab_surrogate, lt.CBRT_TAB),
+            "inv_gamma": (_ig_tab_surrogate, lt.INV_GAMMA_TAB),
+        }[name]
+        tab = _np.asarray(table, _np.int64)
+        n = tab.shape[0]
+
+        def probe_kernel(i_ref, o_ref):
+            o_ref[...] = surrogate(i_ref[...])
+
+        rows = n // 128
+        with jax.ensure_compile_time_eval():
+            got = pl.pallas_call(
+                probe_kernel,
+                in_specs=[pl.BlockSpec((rows, 128), lambda: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((rows, 128), lambda: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                interpret=_interpret(),
+            )(jnp.arange(n, dtype=jnp.int32).reshape(rows, 128))
+            got = _np.asarray(got).reshape(-1).astype(_np.int64)
+        delta = tab - got
+        nz = _np.nonzero(delta)[0]
+        _ARITH_CORR[key] = None if len(nz) > 32 else (
+            tuple(int(i) for i in nz), tuple(int(d) for d in delta[nz]))
+    return _ARITH_CORR[key]
+
+
+def _apply_corrections(v: jnp.ndarray, idx: jnp.ndarray, corr):
+    for i, d in zip(*corr):
+        v = v + jnp.where(idx == np.int32(i), np.int32(d), np.int32(0))
+    return v
+
+
+# Probe-transfer caveat (measured on v5e, round 3): the INV_GAMMA surrogate
+# is bit-exact in every tested kernel context (standalone inverse, fused
+# CLAHE+inverse), but the CBRT surrogate's last-ulp rounding varies with the
+# kernel instance (Mosaic may contract/reassociate differently per call
+# site), flipping ~1e-4 of a/b pixels by +-1 LSB vs the table.  The forward
+# kernels therefore keep the 12-segment gather on the EXACT tier and use
+# the arithmetic cbrt only on the explicitly-approximate fast tier (the six
+# --fast throughput path, whose airlight/percentile stages are already
+# approximate; gate is >= 50 dB, and +-1 LSB on 0.01% of a/b pixels sits
+# around 90 dB).  tests/test_tpu_hw.py pins both behaviors on hardware.
+
+
+def _make_lab_fwd_kernel(unit_in: bool, cbrt_corr=None):
+    def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, *rest):
         from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
+        if cbrt_corr is None:
+            cbrt_ref, L_ref, a_ref, bb_ref = rest
+            cbrt = cbrt_ref[...]  # (12, 128) i32, two 16-bit entries/word
+        else:
+            L_ref, a_ref, bb_ref = rest
         if unit_in:
             # colorspace.quantize_u8 semantics in-kernel: clip + TRUNCATE
             q = lambda v: jnp.clip(v * jnp.float32(255.0),
@@ -453,7 +571,6 @@ def _make_lab_fwd_kernel(unit_in: bool):
         else:
             q = lambda v: jnp.clip(v, 0, 255)
         gam = gam_ref[...]     # (2, 128) i32
-        cbrt = cbrt_ref[...]   # (12, 128) i32, two 16-bit entries per word
         R = _seg_gather(gam, q(r_ref[...]), 2)
         G = _seg_gather(gam, q(g_ref[...]), 2)
         B = _seg_gather(gam, q(b_ref[...]), 2)
@@ -463,6 +580,10 @@ def _make_lab_fwd_kernel(unit_in: bool):
             acc = (R * int(C[row, 0]) + G * int(C[row, 1])
                    + B * int(C[row, 2]))
             idx = jnp.clip(_descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
+            if cbrt_corr is not None:
+                # arithmetic CBRT_TAB (probe-corrected — bit-identical)
+                return _apply_corrections(_cbrt_tab_surrogate(idx), idx,
+                                          cbrt_corr)
             word = _seg_gather(cbrt, idx >> 1, 12)
             return (word >> ((idx & 1) << 4)) & 0xFFFF
 
@@ -495,7 +616,7 @@ def _pack_u32(*fields):
     return (acc & 0xFFFFFFFF).astype(_np.uint32).view(_np.int32)
 
 
-def _lab_fwd_tables():
+def _lab_fwd_tables(with_cbrt: bool = True):
     if "fwd" not in _LAB_TABS:
         import numpy as _np
 
@@ -505,54 +626,76 @@ def _lab_fwd_tables():
         cb = _np.asarray(lt.CBRT_TAB, _np.int32)  # (3072,), entries <= 2^15
         packed = _pack_u32((cb[0::2], 0), (cb[1::2], 16))
         _LAB_TABS["fwd"] = (gam, packed.reshape(12, 128))
-    return _LAB_TABS["fwd"]
+    gam, cbrt = _LAB_TABS["fwd"]
+    return (gam, cbrt) if with_cbrt else (gam,)
 
 
-def _make_lab_inv_kernel(unit_out: bool):
-    def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, ig_ref,
-                        r_ref, g_ref, bb_ref):
-        from underwater_image_enhancement_tpu.ops import lab_tables as lt
-        from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
+def _lab_inv_body(L, a, b, l2yf, ig_lookup):
+    """Shared inverse-LAB integer pipeline: (L, a, b) i32 blocks ->
+    (r, g, b) u8-valued i32 blocks.  ig_lookup: idx -> INV_GAMMA_TAB[idx]."""
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+    from underwater_image_enhancement_tpu.ops.colorspace import _ctrunc_div
 
+    word = _seg_gather(l2yf, jnp.clip(L, 0, 255), 2)
+    y = word & 0xFFFF
+    ify = (word >> 16) & 0xFFFF
+
+    adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
+    bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
+
+    def ab_to_xz(v):
+        v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
+        lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
+        cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
+        return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
+
+    x = ab_to_xz(ify + adiv)
+    z = ab_to_xz(ify - bdiv)
+    C = lt.COEFFS_INV
+    outs = []
+    for ch in range(3):
+        idx = _descale(
+            x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]), 14)
+        idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
+        outs.append(ig_lookup(idx))
+    return outs
+
+
+def _make_ig_lookup(ig_corr, ig=None):
+    """INV_GAMMA_TAB lookup: arithmetic surrogate + corrections when the
+    probe validated it, else the packed 8-segment lane gather."""
+    if ig_corr is not None:
+        return lambda idx: _apply_corrections(_ig_tab_surrogate(idx), idx,
+                                              ig_corr)
+
+    def lookup(idx):
+        w = _seg_gather(ig, idx >> 2, 8)
+        return (w >> ((idx & 3) << 3)) & 0xFF
+
+    return lookup
+
+
+def _make_lab_inv_kernel(unit_out: bool, ig_corr=None):
+    def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, *rest):
+        if ig_corr is None:
+            ig_ref, r_ref, g_ref, bb_ref = rest
+            ig = ig_ref[...]   # (8, 128) i32: 4 u8 INV_GAMMA entries/word
+        else:
+            (r_ref, g_ref, bb_ref), ig = rest, None
         l2yf = l2yf_ref[...]   # (2, 128) i32: y | (ify << 16), both < 2^15
-        ig = ig_ref[...]       # (8, 128) i32: 4 u8 INV_GAMMA entries per word
-        L = jnp.clip(L_ref[...], 0, 255)
-        a = a_ref[...]
-        b = b_ref[...]
-        word = _seg_gather(l2yf, L, 2)
-        y = word & 0xFFFF
-        ify = (word >> 16) & 0xFFFF
-
-        adiv = ((5 * a * 53687 + (1 << 7)) >> 13) - 128 * lt.BASE // 500
-        bdiv = ((b * 41943 + (1 << 4)) >> 9) - 128 * lt.BASE // 200 + 1
-
-        def ab_to_xz(v):
-            v = jnp.clip(v, lt.MIN_AB, lt.BASE * 9 // 4)
-            lin = _ctrunc_div(v * 108, 841) - lt.AB_LIN_K
-            cub = _ctrunc_div(_ctrunc_div(v * v, lt.BASE) * v, lt.BASE)
-            return jnp.where(v <= lt.AB_LIN_THRESH, lin, cub)
-
-        x = ab_to_xz(ify + adiv)
-        z = ab_to_xz(ify - bdiv)
-        C = lt.COEFFS_INV
-        outs = (r_ref, g_ref, bb_ref)
-        for ch in range(3):
-            idx = _descale(
-                x * int(C[ch, 0]) + y * int(C[ch, 1]) + z * int(C[ch, 2]),
-                14)
-            idx = jnp.clip(idx, 0, lt.INV_GAMMA_SIZE - 1)
-            w = _seg_gather(ig, idx >> 2, 8)
-            v8 = (w >> ((idx & 3) << 3)) & 0xFF
+        vals = _lab_inv_body(L_ref[...], a_ref[...], b_ref[...], l2yf,
+                             _make_ig_lookup(ig_corr, ig))
+        for ref, v8 in zip((r_ref, g_ref, bb_ref), vals):
             if unit_out:
                 # colorspace.u8_to_unit semantics: f32 DIVISION by 255
-                outs[ch][...] = v8.astype(jnp.float32) / jnp.float32(255.0)
+                ref[...] = v8.astype(jnp.float32) / jnp.float32(255.0)
             else:
-                outs[ch][...] = v8
+                ref[...] = v8
 
     return _lab_inv_kernel
 
 
-def _lab_inv_tables():
+def _lab_inv_tables(with_ig: bool = True):
     if "inv" not in _LAB_TABS:
         import numpy as _np
 
@@ -565,7 +708,8 @@ def _lab_inv_tables():
                               (igt[2::4], 16), (igt[3::4], 24))
         _LAB_TABS["inv"] = (packed_yf.reshape(2, 128),
                             packed_ig.reshape(8, 128))
-    return _LAB_TABS["inv"]
+    yf, ig = _LAB_TABS["inv"]
+    return (yf, ig) if with_ig else (yf,)
 
 
 TILE_LAB = 128  # rows per grid step for the plane-wise LAB kernels
@@ -595,11 +739,13 @@ def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
     return tuple(o[:H, :W] for o in outs)
 
 
-def _make_lab_forward(unit_in: bool):
+def _make_lab_forward(unit_in: bool, fast: bool = False):
     @jax.custom_batching.custom_vmap
     def fwd(r, g, b):
+        corr = _corrections("cbrt") if fast else None
         return _lab_plane_call(
-            _make_lab_fwd_kernel(unit_in), (r, g, b), _lab_fwd_tables(),
+            _make_lab_fwd_kernel(unit_in, corr), (r, g, b),
+            _lab_fwd_tables(with_cbrt=corr is None),
             jnp.float32 if unit_in else jnp.int32, jnp.int32)
 
     _pointwise_flatten_vmap(fwd)
@@ -609,8 +755,10 @@ def _make_lab_forward(unit_in: bool):
 def _make_lab_inverse(unit_out: bool):
     @jax.custom_batching.custom_vmap
     def inv(L, a, b):
+        corr = _corrections("inv_gamma")
         return _lab_plane_call(
-            _make_lab_inv_kernel(unit_out), (L, a, b), _lab_inv_tables(),
+            _make_lab_inv_kernel(unit_out, corr), (L, a, b),
+            _lab_inv_tables(with_ig=corr is None),
             jnp.int32, jnp.float32 if unit_out else jnp.int32)
 
     _pointwise_flatten_vmap(inv)
@@ -650,14 +798,25 @@ lab_forward_planes_unit.__doc__ = (
     IN-KERNEL, saving the separate int32 quantize pass's HBM roundtrip.
     Bit-identical to quantize_u8 + lab_forward_planes.""")
 
+lab_forward_planes_unit_fast = _make_lab_forward(True, fast=True)
+lab_forward_planes_unit_fast.__doc__ = (
+    """Throughput-tier forward LAB: the CBRT table is evaluated as Newton
+    arithmetic + probed corrections instead of a 12-segment lane gather —
+    ~1.5x faster, but the last-ulp instability across kernel instances can
+    flip ~1e-4 of a/b pixels by +-1 LSB (see the probe-transfer note above).
+    Used by the six --fast CLAHE legs; exact paths keep the gather.""")
+
 lab_inverse_planes = _make_lab_inverse(False)
 lab_inverse_planes.__doc__ = (
     """Bit-exact cv2 LAB2RGB on u8-valued int32 planes (H, W) -> (r, g, b).
 
     Same fixed-point pipeline as colorspace.lab_to_rgb_u8_exact_planes
-    (OpenCV Lab2RGBinteger; table notes in lab_tables.py), with the
-    L2YF/INV_GAMMA tables as packed in-VMEM lane gathers.  vmap-safe via
-    the same row-folding custom_vmap rule as the forward kernel.""")
+    (OpenCV Lab2RGBinteger; table notes in lab_tables.py).  The L2YF table
+    is a packed in-VMEM lane gather; INV_GAMMA is evaluated as sqrt-chain
+    arithmetic + probed corrections (bit-exact on hardware in every tested
+    context — pinned by tests/test_tpu_hw.py — with a gather fallback when
+    the probe finds > 32 divergent entries).  vmap-safe via the same
+    row-folding custom_vmap rule as the forward kernel.""")
 
 lab_inverse_planes_unit = _make_lab_inverse(True)
 lab_inverse_planes_unit.__doc__ = (

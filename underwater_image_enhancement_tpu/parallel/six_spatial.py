@@ -142,7 +142,7 @@ def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
     return e[h:-h]
 
 
-def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 16):
+def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 8):
     """quadtree_airlight_planes with psum'd SAT corners.
 
     Each shard keeps only its local row-prefix table; a corner at global

@@ -265,6 +265,155 @@ class MLPTrainer(_BaseTrainer):
         self.val_losses = list(np.asarray(restored["val_losses"]))
 
 
+class ZooTrainer(_BaseTrainer):
+    """End-to-end trainer for the model_architectures.py backbones (D11).
+
+    The reference ships CNN/EfficientNet/ViT parameter predictors with only
+    forward smoke tests and a broken trainer import
+    (model_architectures.py:199-203, 230-264); here they train through the
+    same differentiable objective as the other trainers: image -> 6 params
+    (models.zoo head ranges, model_architectures.py:61-66) -> stretch +
+    omega-dehaze + use_gamma-gated gamma -> ReferenceLoss vs the UIEB
+    reference image.  ``pretrained`` loads a converted torchvision
+    resnet18 .npz backbone (models.zoo.load_resnet18_npz); by default the
+    conventional artifact (utils.weights.find_resnet18_npz) is used when
+    present.
+    """
+
+    def __init__(self, model_type: str = "resnet", lr: float = 1e-4,
+                 seed: int = 0, mesh=None, image_size: int = 224,
+                 stretch_mode: str = "quantile",
+                 pretrained: str | None = "auto"):
+        super().__init__()
+        from underwater_image_enhancement_tpu.models import zoo
+
+        self.model_type = model_type
+        self.model = zoo.create_model(model_type)
+        rng = jax.random.PRNGKey(seed)
+        variables = self.model.init(
+            rng, jnp.zeros((1, image_size, image_size, 3)))
+        if pretrained == "auto":
+            from underwater_image_enhancement_tpu.utils.weights import (
+                find_resnet18_npz,
+            )
+
+            pretrained = find_resnet18_npz() if model_type == "resnet" else None
+        if pretrained is not None:
+            if model_type != "resnet":
+                raise ValueError(
+                    "pretrained import is implemented for the resnet18 "
+                    "backbone (model_architectures.py:13)")
+            variables = zoo.load_resnet18_npz(variables, pretrained)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+        self.mesh = maybe_mesh(mesh)
+        self._stretch_mode = stretch_mode
+        self._rng = rng
+        self._step = self._make_step()
+        self._eval = self._make_eval()
+
+    def _apply_enhance(self, imgs, pred):
+        """Differentiable composite over the six predicted params: percentile
+        stretch -> omega dehaze -> use_gamma-gated img**gamma (the
+        vgg-flavor op order, vgg_16_UIE.py:32-55, with the mlp-flavor soft
+        gamma gate, deep_learning_parameters.py:43-56).  guided_radius has
+        no differentiable consumer (the reference never trains it either)."""
+        flat = {k: v.reshape(-1) for k, v in pred.items()}
+        out = diff_enhance.color_stretch_batch(
+            imgs, flat["L_low"], flat["L_high"], self._stretch_mode)
+        out = diff_enhance.dehaze_batch(out, flat["omega"])
+        g = flat["gamma"].reshape(-1, 1, 1, 1)
+        use_g = flat["use_gamma"].reshape(-1, 1, 1, 1)
+        out = use_g * jnp.power(out + 1e-8, g) + (1.0 - use_g) * out
+        return jnp.clip(out, 0.0, 1.0)
+
+    def _loss_fn(self, params, batch_stats, imgs, refs, rng, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            pred, mutated = self.model.apply(
+                variables, imgs, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            pred = self.model.apply(variables, imgs, train=False)
+            new_stats = batch_stats
+        enhanced = self._apply_enhance(imgs, pred)
+        total, _ = losses.reference_loss(enhanced, refs)
+        return total, new_stats
+
+    def _make_step(self):
+        @jax.jit
+        def step(params, batch_stats, opt_state, imgs, refs, rng):
+            (loss, new_stats), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
+                    params, batch_stats, imgs, refs, rng, True)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    def _make_eval(self):
+        @jax.jit
+        def ev(params, batch_stats, imgs, refs):
+            loss, _ = self._loss_fn(params, batch_stats, imgs, refs,
+                                    jax.random.PRNGKey(0), False)
+            return loss
+
+        return ev
+
+    def run_epoch(self, batches: Iterable, train: bool) -> float:
+        total, n = 0.0, 0
+        for item in batches:
+            if len(item) == 3:  # (dataset_indices, imgs, refs)
+                _, imgs, refs = item
+            else:
+                imgs, refs = item
+            imgs = self._shard(jnp.asarray(imgs))
+            refs = self._shard(jnp.asarray(refs))
+            if train:
+                self._rng, sub = jax.random.split(self._rng)
+                self.params, self.batch_stats, self.opt_state, loss = \
+                    self._step(self.params, self.batch_stats, self.opt_state,
+                               imgs, refs, sub)
+            else:
+                loss = self._eval(self.params, self.batch_stats, imgs, refs)
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def predict_params(self, imgs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            imgs, train=False)
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "train_losses": np.asarray(self.train_losses, np.float64),
+            "val_losses": np.asarray(self.val_losses, np.float64),
+        })
+
+    def load(self, path: str) -> None:
+        like = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "train_losses": np.zeros((0,), np.float64),
+            "val_losses": np.zeros((0,), np.float64),
+        }
+        restored = restore_checkpoint(path, like)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.opt_state = restored["opt_state"]
+        self.train_losses = list(np.asarray(restored["train_losses"]))
+        self.val_losses = list(np.asarray(restored["val_losses"]))
+
+
 class VGGTrainer(_BaseTrainer):
     """ImprovedTrainer equivalent (vgg_16_UIE.py:481-615)."""
 
@@ -275,7 +424,7 @@ class VGGTrainer(_BaseTrainer):
                  image_size: int = 224, seed: int = 0, mesh=None,
                  compute_dtype: str = "float32",
                  stretch_mode: str = "quantile",
-                 vgg_loss_params=None, pretrained_vgg: str | None = None):
+                 vgg_loss_params=None, pretrained_vgg: str | None = "auto"):
         super().__init__()
         self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
         rng = jax.random.PRNGKey(seed)
@@ -284,6 +433,12 @@ class VGGTrainer(_BaseTrainer):
         variables = self.model.init(rng, img0, feats0)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        if pretrained_vgg == "auto":
+            # conventional artifact path (tools/fetch_vgg16_npz.py output);
+            # None when no artifact is installed
+            from underwater_image_enhancement_tpu.utils.weights import find_vgg16_npz
+
+            pretrained_vgg = find_vgg16_npz()
         if pretrained_vgg is not None:
             # ImageNet-pretrained VGG16 for both the backbone trunk
             # (vgg_16_UIE.py:149-154) and the perceptual loss (:257-269),
