@@ -64,9 +64,15 @@ def _halo(block: jnp.ndarray, h: int, edge: str = "reflect101"):
 
 def _perc_pair_hist_sharded(ch: jnp.ndarray, l_low, l_high, n_global: int,
                             k: int = 32, subsample: int = 8):
-    vmin = lax.pmin(jnp.min(ch), AX)
-    vmax = lax.pmax(jnp.max(ch), AX)
-    flat = (ch[::subsample, :] if subsample > 1 else ch).reshape(-1)
+    # min/max run on the SAME row subsample as the histogram (matching
+    # ops.stretch._perc_pair_hist, which drops the full-frame min/max pass
+    # for HBM traffic) — rows-per-shard % subsample == 0 keeps the local
+    # stride-8 rows identical to the global stride-8 rows, so the psum'd
+    # histogram and pmin/pmax stay bit-equal to the single-device path
+    sub = ch[::subsample, :] if subsample > 1 else ch
+    vmin = lax.pmin(jnp.min(sub), AX)
+    vmax = lax.pmax(jnp.max(sub), AX)
+    flat = sub.reshape(-1)
     scale = (k * k - 1) / jnp.maximum(vmax - vmin, 1e-12)
     idx = jnp.clip((flat - vmin) * scale, 0, k * k - 1)
     hi = (idx // k).astype(jnp.int32)
@@ -142,7 +148,8 @@ def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
     return e[h:-h]
 
 
-def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 8):
+def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 4):
+    # edge_iters must track pipeline.six._airlight's fast-tier value
     """quadtree_airlight_planes with psum'd SAT corners.
 
     Each shard keeps only its local row-prefix table; a corner at global

@@ -45,11 +45,12 @@ def _airlight(p, method):
     # the reference (six_stadigy.py:115-157); the throughput variants use
     # the canonical global-edge-map descent
     if method == "hist-fast":
-        # 8 hysteresis rounds: the edge term only steers the descent, and
-        # halving 16 -> 8 saved ~0.15 ms/frame on v5e with the pick
-        # unchanged on the 12-image agreement suite (the >= 25 dB fast-tier
-        # gate in tests/test_strategies.py allows an occasional shift)
-        return quadtree_airlight_planes(p, edge_iters=8)
+        # 4 hysteresis rounds: the edge term only steers the descent;
+        # 64/8/4 all pick the same block on the 16-image agreement suite
+        # (2 flips first appear at iters=2), and 8 -> 4 saves ~0.12 ms/frame
+        # on v5e (the >= 25 dB fast-tier gate in tests/test_strategies.py
+        # allows an occasional shift)
+        return quadtree_airlight_planes(p, edge_iters=4)
     return quadtree_airlight_exact_planes(p)
 
 
