@@ -75,7 +75,15 @@ def _timed(run, frames, reps, rtt):
     return max(float(np.median(times)), 1e-9)
 
 
+def _scale_k(k, h, w):
+    """Scale the chained-iteration count inversely with frame area so the
+    in-loop device time dominates the tunnel RTT at small sizes (at VGA an
+    unscaled loop measures below the RTT and the subtraction clamps)."""
+    return max(k, int(round(k * (1080 * 1920) / (h * w))))
+
+
 def bench_enhance(h, w, rtt, n=8, k=8, reps=5):
+    k = _scale_k(k, h, w)
     import jax
     import jax.numpy as jnp
 
@@ -96,34 +104,44 @@ def bench_enhance(h, w, rtt, n=8, k=8, reps=5):
 
 
 def bench_six(h, w, rtt, batch=1, k=4, reps=5):
+    """Honest harness: ALL SIX outputs are the fori_loop carry, so every
+    iteration must fully materialize each strategy's full-resolution frame
+    (feeding back only one output would let XLA skip the non-probed pixels
+    of the other five)."""
+    k = _scale_k(k, h, w)
     import jax
     import jax.numpy as jnp
 
     from underwater_image_enhancement_tpu.pipeline.enhance import (
-        six_strategy_single,
+        six_strategy_tuple,
     )
 
     frames = _make_frames(batch, h, w)
 
     def one(im):
-        stack, code = six_strategy_single(im, fast=True)
-        # fold all six outputs so none is dead, feed one back
-        return _requantize(stack[0] + 1e-9 * jnp.sum(stack[:, ::256, ::256, 0]))
+        outs, code = six_strategy_tuple(im, fast=True)
+        return outs
 
     @jax.jit
     def run(frames):
-        def body(i, x):
+        def body(i, carry):
             if batch == 1:
-                return one(x[0])[None]
-            return jax.vmap(one)(x)
+                x = _requantize(carry[0][0])
+                return tuple(o[None] for o in one(x))
+            xs = _requantize(carry[0])
+            outs = jax.vmap(one)(xs)
+            return outs
 
-        x = jax.lax.fori_loop(0, k, body, frames)
-        return jnp.sum(x[:, ::256, ::256, 0])
+        init = body(0, (frames,) * 6)
+        out = jax.lax.fori_loop(0, k, body, init)
+        return sum(jnp.sum(o[:, ::256, ::256, 0]) for o in out)
 
-    return _timed(run, frames, reps, rtt) / (batch * k)
+    return _timed(run, frames, reps, rtt) / (batch * (k + 1))
 
 
 def bench_label(h, w, rtt, batch=4, k=2, reps=5):
+    if (h, w) == SIZES["vga"]:
+        k = 8  # full-area scaling would overshoot: label is ~30 ms/frame
     import jax
     import jax.numpy as jnp
 

@@ -73,6 +73,14 @@ for f, e in ((fa, ea), (fb, eb)):
     d = np.abs(f.astype(np.int64) - e.astype(np.int64))
     assert d.max() <= 1, d.max()
     assert (d > 0).mean() <= 1e-3, (d > 0).mean()
+
+# six --fast tier approx forward LAB (2-step Newton, no corrections):
+# every channel within +-1 u8 LSB of exact
+aL, aa, ab_ = (np.asarray(x)
+               for x in pk.lab_forward_planes_unit_approx(rp, gp, bp))
+for f, e in ((aL, eL), (aa, ea), (ab_, eb)):
+    d = np.abs(f.astype(np.int64) - e.astype(np.int64))
+    assert d.max() <= 1, d.max()
 print("TPU_HW_OK")
 """
 

@@ -66,6 +66,7 @@ def _cmd_six(args) -> None:
     from underwater_image_enhancement_tpu.pipeline.enhance import (
         SIX_ORDER,
         six_strategy_single,
+        six_strategy_tuple,
     )
     from underwater_image_enhancement_tpu.utils import io as uio
 
@@ -83,7 +84,9 @@ def _cmd_six(args) -> None:
     # with BatchTracers, which disables the Pallas fast paths and lowers the
     # quadtree's lax.conds to selects — the single-image program is the
     # fast path the default batch size is chosen for
-    six_single = jax.jit(lambda im: six_strategy_single(im, fast=args.fast))
+    # tuple outputs: each strategy's final fusion writes its own buffer —
+    # no (6, H, W, 3) stack copy (~0.3 ms/frame at 1080p)
+    six_single = jax.jit(lambda im: six_strategy_tuple(im, fast=args.fast))
     six_batched = jax.jit(
         jax.vmap(lambda im: six_strategy_single(im, fast=args.fast)),
         static_argnames=(),
@@ -96,7 +99,7 @@ def _cmd_six(args) -> None:
         try:
             if len(chunk) == 1:
                 outs_1, code_1 = six_single(jnp.asarray(chunk[0][1]))
-                outs_b = np.asarray(outs_1)[None]
+                outs_b = np.stack([np.asarray(o) for o in outs_1])[None]
                 codes = np.asarray(code_1)[None]
             else:
                 batch = jnp.asarray(np.stack([im for _, im in chunk]))

@@ -479,15 +479,16 @@ def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
     instead of the cropped plane; kept as an option + bit-identity test.
     On TPU the quantize/unit conversions run inside the LAB kernels.
 
-    lab_fast=True routes the forward conversion through the arithmetic-CBRT
-    throughput kernel (pallas_kernels.lab_forward_planes_unit_fast: +-1 LSB
-    on ~1e-4 of a/b pixels) — the six --fast tier opts in."""
+    lab_fast=True routes the forward conversion through the uncorrected
+    2-step-Newton CBRT kernel (pallas_kernels.lab_forward_planes_unit_approx:
+    L/a/b within +-1 u8 LSB of exact, ~48 dB) — the six --fast tier opts
+    in; its gate is >= 25 dB vs the exact tier."""
     from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
     if (lab_fast and jax.default_backend() == "tpu"
             and planes[0].ndim == 2):
         # vmap-safe: the kernel carries the row-folding custom_vmap rule
-        L, a, b = pk.lab_forward_planes_unit_fast(*planes)
+        L, a, b = pk.lab_forward_planes_unit_approx(*planes)
     else:
         L, a, b = cs.rgb_unit_to_lab_planes(*planes)
     if impl == "auto":

@@ -109,6 +109,12 @@ def hysteresis_propagate(strong: jnp.ndarray, weak: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_bands, TILE_H, W), strong.dtype),
         interpret=_interpret(),
+        # two (bh, W) inputs + one (TILE_H, W) output, double-buffered:
+        # 17.7 MB at W=1920 — just over the 16 MB default scoped-vmem cap
+        # (v5e has 128 MB); hit when the label program vmaps Canny over
+        # batch x strategies at 1080p
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(s_bands, w_bands)
     return out.reshape(n_bands * TILE_H, W)[:H]
 
@@ -442,45 +448,53 @@ def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
 # cbrt = 5 (+1) corrections, inv_gamma = 0).
 
 
-def _rcbrt(t: jnp.ndarray) -> jnp.ndarray:
-    """f32 t^(-1/3): exponent bit-trick seed + 4 DIVISION-FREE Newton steps
+def _rcbrt(t: jnp.ndarray, steps: int = 4) -> jnp.ndarray:
+    """f32 t^(-1/3): exponent bit-trick seed + DIVISION-FREE Newton steps
     r <- r*(4 - t*r^3)/3 (f32 division is a multi-op emulation on the VPU
     — a divide-based Newton measured ~6x slower than the table gather it
     was meant to replace).  Mul/add only, so per-element results are
-    independent of block shape; corrections absorb the residual ulps."""
+    independent of block shape; corrections absorb the residual ulps.
+    Convergence is quadratic from a ~3% seed: 2 steps reach ~1e-5 relative
+    (enough for u8 targets), 3 steps reach f32 roundoff."""
     t = jnp.maximum(t, np.float32(1e-30))
     i = jax.lax.bitcast_convert_type(t, jnp.int32)
     r = jax.lax.bitcast_convert_type(np.int32(0x54A21D2A) - i // 3,
                                      jnp.float32)
     third = np.float32(1.0 / 3.0)
     four = np.float32(4.0)
-    for _ in range(4):
+    for _ in range(steps):
         r = r * ((four - t * (r * r) * r) * third)
     return r
 
 
-def _newton_cbrt(t: jnp.ndarray) -> jnp.ndarray:
+def _newton_cbrt(t: jnp.ndarray, steps: int = 4) -> jnp.ndarray:
     """f32 cube root as t * (t^(-1/3))^2 — division-free."""
     t = jnp.maximum(t, np.float32(1e-30))
-    r = _rcbrt(t)
+    r = _rcbrt(t, steps)
     return t * (r * r)
 
 
-def _cbrt_tab_surrogate(idx: jnp.ndarray) -> jnp.ndarray:
-    """lab_tables.CBRT_TAB[idx] candidate: round(labF(i/2040) * 2^15)."""
+def _cbrt_tab_surrogate(idx: jnp.ndarray, steps: int = 4) -> jnp.ndarray:
+    """lab_tables.CBRT_TAB[idx] candidate: round(labF(i/2040) * 2^15).
+
+    steps=4 diverges from the table on ~7 of 3072 entries (fixed up by the
+    probe corrections -> exact); steps=2 diverges by +-1 on ~370 entries —
+    the uncorrected throughput tier (<= +-1 u8 LSB in L/a/b)."""
     t = idx.astype(jnp.float32) * np.float32(1.0 / 2040.0)
     f = jnp.where(t < np.float32(0.008856),
                   t * np.float32(7.787) + np.float32(16.0 / 116.0),
-                  _newton_cbrt(t))
+                  _newton_cbrt(t, steps))
     return jnp.round(f * np.float32(1 << 15)).astype(jnp.int32)
 
 
 def _ig_tab_surrogate(idx: jnp.ndarray) -> jnp.ndarray:
     """lab_tables.INV_GAMMA_TAB[idx] candidate:
     clip(round(255 * srgb_gamma(i/4096))) with
-    x^(1/2.4) = ((x^(1/3))^(1/4))^5 — Newton cbrt + 2 hardware sqrts."""
+    x^(1/2.4) = ((x^(1/3))^(1/4))^5 — Newton cbrt + 2 hardware sqrts.
+    3 Newton steps match all 4096 table entries (numpy f32 replay; the
+    on-device probe re-validates and would add corrections on divergence)."""
     x = idx.astype(jnp.float32) * np.float32(1.0 / 4096.0)
-    s = jnp.sqrt(jnp.sqrt(_newton_cbrt(x)))      # x^(1/12)
+    s = jnp.sqrt(jnp.sqrt(_newton_cbrt(x, steps=3)))  # x^(1/12)
     s2 = s * s
     p = s2 * s2 * s                              # x^(5/12) = x^(1/2.4)
     g = np.float32(1.055) * p - np.float32(0.055)
@@ -580,6 +594,10 @@ def _make_lab_fwd_kernel(unit_in: bool, cbrt_corr=None):
             acc = (R * int(C[row, 0]) + G * int(C[row, 1])
                    + B * int(C[row, 2]))
             idx = jnp.clip(_descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
+            if cbrt_corr == "approx2":
+                # throughput tier: 2-step Newton, NO corrections — +-1
+                # table LSB on ~12% of entries => <= +-1 u8 LSB in L/a/b
+                return _cbrt_tab_surrogate(idx, steps=2)
             if cbrt_corr is not None:
                 # arithmetic CBRT_TAB (probe-corrected — bit-identical)
                 return _apply_corrections(_cbrt_tab_surrogate(idx), idx,
@@ -715,16 +733,31 @@ def _lab_inv_tables(with_ig: bool = True):
 TILE_LAB = 128  # rows per grid step for the plane-wise LAB kernels
 
 
+def _row_tile(H: int) -> int:
+    """Largest row-tile in [8, TILE_LAB] (multiple of 8) dividing H — a
+    dividing tile skips the pad+crop plane copies around the kernel
+    (~0.1 ms/leg at 1080p, where H=1080 is 128-indivisible but 120 | 1080).
+    Falls back to TILE_LAB (ceil-pad) when H has no such divisor."""
+    for t in range(TILE_LAB, 7, -8):
+        if H % t == 0:
+            return t
+    return TILE_LAB
+
+
 def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
-    """Shared launch for the plane-wise LAB kernels: pad to (TILE_LAB, 128)
-    tiles, run, crop."""
+    """Shared launch for the plane-wise LAB kernels: pad to (tile, 128)
+    tiles (none when the tile divides), run, crop."""
     H, W = inputs[0].shape
-    Hp = -(-H // TILE_LAB) * TILE_LAB
+    tile = _row_tile(H)
+    Hp = -(-H // tile) * tile
     Wp = -(-W // 128) * 128
     pads = ((0, Hp - H), (0, Wp - W))
-    padded = tuple(jnp.pad(p.astype(in_dtype), pads) for p in inputs)
-    grid = (Hp // TILE_LAB, Wp // 128)
-    img_spec = pl.BlockSpec((TILE_LAB, 128), lambda i, j: (i, j),
+    if Hp == H and Wp == W:
+        padded = tuple(p.astype(in_dtype) for p in inputs)
+    else:
+        padded = tuple(jnp.pad(p.astype(in_dtype), pads) for p in inputs)
+    grid = (Hp // tile, Wp // 128)
+    img_spec = pl.BlockSpec((tile, 128), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     tab = lambda s: pl.BlockSpec((s, 128), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -739,10 +772,18 @@ def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
     return tuple(o[:H, :W] for o in outs)
 
 
-def _make_lab_forward(unit_in: bool, fast: bool = False):
+def _make_lab_forward(unit_in: bool, fast=False):
+    """fast=False: exact 12-segment CBRT gather.  fast=True: arithmetic
+    surrogate + probe corrections (bit-identical by construction, modulo
+    the documented per-instance ulp instability).  fast="approx2":
+    2-step-Newton surrogate, no corrections — the six --fast tier."""
+
     @jax.custom_batching.custom_vmap
     def fwd(r, g, b):
-        corr = _corrections("cbrt") if fast else None
+        if fast == "approx2":
+            corr = "approx2"
+        else:
+            corr = _corrections("cbrt") if fast else None
         return _lab_plane_call(
             _make_lab_fwd_kernel(unit_in, corr), (r, g, b),
             _lab_fwd_tables(with_cbrt=corr is None),
@@ -804,7 +845,16 @@ lab_forward_planes_unit_fast.__doc__ = (
     arithmetic + probed corrections instead of a 12-segment lane gather —
     ~1.5x faster, but the last-ulp instability across kernel instances can
     flip ~1e-4 of a/b pixels by +-1 LSB (see the probe-transfer note above).
-    Used by the six --fast CLAHE legs; exact paths keep the gather.""")
+    Exact paths keep the gather.""")
+
+lab_forward_planes_unit_approx = _make_lab_forward(True, fast="approx2")
+lab_forward_planes_unit_approx.__doc__ = (
+    """six --fast tier forward LAB: 2-step-Newton CBRT surrogate with NO
+    corrections — drops ~90 VPU ops/pixel (2 Newton steps + ~6 fixup
+    selects per channel) vs the corrected _fast kernel.  +-1 table LSB on
+    ~12% of CBRT entries => L/a/b each within +-1 u8 LSB of exact
+    (>= ~48 dB), well inside the fast tier's >= 25 dB contract
+    (tests/test_strategies.py::test_six_fast_mode_close_to_exact).""")
 
 lab_inverse_planes = _make_lab_inverse(False)
 lab_inverse_planes.__doc__ = (

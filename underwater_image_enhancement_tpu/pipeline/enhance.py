@@ -83,11 +83,15 @@ SIX_ORDER = tuple(SIX_STRATEGIES)  # strong, medium, light, clahe, wb, hist_eq
 
 
 @partial(jax.jit, static_argnames=("fast",))
-def six_strategy_single(img: jnp.ndarray, fast: bool = False
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One image -> (6, H, W, 3) stack of all six strategies (after cast
-    correction) + the cast code (six_stadigy.py:392-447 per-image body).
-    fast=True uses histogram percentiles (the batch-throughput mode).
+def six_strategy_tuple(img: jnp.ndarray, fast: bool = False):
+    """One image -> (tuple of six (H, W, 3) outputs, cast code) — all six
+    strategies after cast correction (six_stadigy.py:392-447 per-image
+    body).  fast=True uses histogram percentiles (the batch-throughput
+    mode).
+
+    Returns a TUPLE so each strategy's final fusion writes its own output
+    buffer: the (6, H, W, 3) stack copy costs ~0.3 ms/frame at 1080p, and
+    the CLI/bench consume per-strategy frames anyway.
 
     The atmospheric light is estimated ONCE and shared by the three dehaze
     strategies — they all run the same descent on the same corrected image,
@@ -110,6 +114,15 @@ def six_strategy_single(img: jnp.ndarray, fast: bool = False
             outs.append(builder(corrected, method, A=A))
         else:
             outs.append(builder(corrected, method))
+    return tuple(outs), code
+
+
+def six_strategy_single(img: jnp.ndarray, fast: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image -> (6, H, W, 3) stack of all six strategies + cast code.
+    Stacked convenience wrapper over six_strategy_tuple (which avoids the
+    stack copy and is what the CLI/bench drive)."""
+    outs, code = six_strategy_tuple(img, fast=fast)
     return jnp.stack(outs), code
 
 
