@@ -85,17 +85,58 @@ print("TPU_HW_OK")
 """
 
 
-def test_clahe_tie_inputs_bit_identical_on_hw():
+_SIX_BATCH_SCRIPT = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.devices()[0].platform != "cpu", "expected a real TPU device"
+
+from underwater_image_enhancement_tpu.pipeline.enhance import (
+    six_strategy_single,
+)
+
+# Round 2 hit an axon worker 'kernel fault' when 4-6 strategy compositions
+# were vmapped together; the round-3 kernels (custom_vmap row folds,
+# arithmetic LAB surrogates) removed the trigger.  Gate: vmapped six at
+# B=4 RUNS on hardware and is BIT-EQUAL to the single-image program
+# (every kernel on the vmapped path carries a batch-folding custom_vmap
+# rule, so the math is instance-identical).
+rng = np.random.default_rng(0)
+imgs = jnp.asarray(
+    np.floor(rng.uniform(0.05, 0.95, (4, 256, 320, 3)) * 255)
+    .astype(np.float32) / 255.0)
+out_b, codes_b = jax.jit(
+    jax.vmap(lambda im: six_strategy_single(im, fast=True)))(imgs)
+out_b, codes_b = np.asarray(out_b), np.asarray(codes_b)
+single = jax.jit(lambda im: six_strategy_single(im, fast=True))
+for i in range(4):
+    out_s, code_s = single(imgs[i])
+    np.testing.assert_array_equal(np.asarray(out_s), out_b[i])
+    assert int(code_s) == int(codes_b[i])
+print("TPU_HW_OK")
+"""
+
+
+def _run_on_hw(script: str):
     if not os.path.isdir(_AXON_SITE):
         pytest.skip("no axon TPU plugin on this machine")
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = f"{repo}:{_AXON_SITE}"
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], env=env, cwd="/tmp",
+        [sys.executable, "-c", script], env=env, cwd="/tmp",
         capture_output=True, text=True, timeout=900,
     )
     if proc.returncode != 0 and "Backend 'axon'" in proc.stderr:
         pytest.skip("axon TPU backend not reachable")
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TPU_HW_OK" in proc.stdout
+
+
+def test_clahe_tie_inputs_bit_identical_on_hw():
+    _run_on_hw(_SCRIPT)
+
+
+def test_six_vmapped_batch4_stable_and_bit_equal_on_hw():
+    _run_on_hw(_SIX_BATCH_SCRIPT)
