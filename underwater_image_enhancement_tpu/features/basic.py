@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from underwater_image_enhancement_tpu.ops import stretch
+
 FEATURE_DIM = 79
 
 
@@ -22,7 +24,7 @@ def extract_basic_features(img: jnp.ndarray) -> jnp.ndarray:
         ch = img[..., c].reshape(-1)
         feats += [
             jnp.mean(ch), jnp.std(ch), jnp.min(ch), jnp.max(ch),
-            jnp.percentile(ch, 50.0),
+            stretch.percentiles_radix(ch, (50.0,))[0],
         ]
     flat = img.reshape(-1)
     feats += [jnp.mean(flat), jnp.std(flat), jnp.mean(flat**2)]

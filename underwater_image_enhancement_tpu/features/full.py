@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import colorspace as cs
+from underwater_image_enhancement_tpu.ops import stretch
 from underwater_image_enhancement_tpu.ops.dct import dct2
 from underwater_image_enhancement_tpu.ops.edges import canny_u8, laplacian, sobel
 from underwater_image_enhancement_tpu.ops.resize import resize_u8
@@ -114,13 +115,17 @@ def _quality_features(gray_unit_f, gray_u8, hsv_unit_s):
     """feature_extraction.py:202-246 (10 dims)."""
     g = gray_unit_f.reshape(-1)
     mean = jnp.mean(g)
+    # one shared O(n) radix select instead of jnp.percentile's full sort
+    # (the sort was the single largest remaining op in the Phase-1 label
+    # program trace); identical order statistics, ops/stretch notes
+    p50, p25, p75 = stretch.percentiles_radix(g, (50.0, 25.0, 75.0))
     return [
         jnp.std(g),
         _entropy_u8(gray_u8),
         mean,
-        jnp.percentile(g, 50.0),
-        jnp.percentile(g, 25.0),
-        jnp.percentile(g, 75.0),
+        p50,
+        p25,
+        p75,
         jnp.max(g) - jnp.min(g),
         jnp.mean(hsv_unit_s),
         jnp.std(hsv_unit_s),

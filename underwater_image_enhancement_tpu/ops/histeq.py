@@ -82,6 +82,26 @@ def shannon_entropy_u8(plane_u8: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0))
 
 
+def _apply_lut256(vals_u8: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """lut[vals] for a (256,) int32 LUT over int32 values in [0, 255],
+    WITHOUT an XLA gather — gathers serialize on TPU (the straight
+    ``lut[flat]`` formulation measured 1.5 GB/s, 90 ms per 1080p channel
+    inside the batched label program).  Two-level one-hot contraction
+    instead: rows = onehot16(hi) @ lut.reshape(16, 16) on the MXU, then a
+    16-wide VPU dot with onehot16(lo).  One-hot entries and LUT values
+    (<= 255) are exact in bf16; accumulation in f32 is exact."""
+    flat = vals_u8.reshape(-1)
+    bins = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((flat >> 4)[:, None] == bins).astype(jnp.bfloat16)
+    lo_oh = ((flat & 15)[:, None] == bins).astype(jnp.bfloat16)
+    table = lut.reshape(16, 16).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        hi_oh, table, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (n, 16): the hi-row of lut
+    out = jnp.sum(rows * lo_oh.astype(jnp.float32), axis=1)
+    return out.astype(jnp.int32).reshape(vals_u8.shape)
+
+
 @jax.jit
 def equalize_hist_u8(channel_u8: jnp.ndarray) -> jnp.ndarray:
     """cv2.equalizeHist on a single uint8-valued int32 plane (H, W).
@@ -103,7 +123,7 @@ def equalize_hist_u8(channel_u8: jnp.ndarray) -> jnp.ndarray:
     shifted = (cdf - cdf[i0]).astype(jnp.float32)
     lut = _round_half_even(shifted * scale).astype(jnp.int32)
     lut = jnp.clip(lut, 0, 255)
-    out = lut[flat].reshape(channel_u8.shape)
+    out = _apply_lut256(channel_u8, lut)
     # constant image: cv2 copies the source through unchanged
     return jnp.where(denom > 0, out, channel_u8)
 

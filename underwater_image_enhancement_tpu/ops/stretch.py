@@ -10,9 +10,12 @@ Reference semantics reproduced:
   ``img**(1/gamma)`` with clip (enhancement_strategies.py:276-285) and
   ``img**gamma`` without clip (six_stadigy.py:221-224).  Both are exposed.
 
-Percentiles use numpy's linear-interpolation definition (np.percentile), which
-``jnp.percentile`` matches exactly.  A histogram-based fast path trades exact
-interpolation for O(n) cost; the sort-based path is the parity oracle.
+Percentiles use numpy's linear-interpolation definition (np.percentile).
+Four methods: 'sort' (full sort, the parity oracle), 'radix' (identical
+order statistics via an O(n) MXU-histogram radix select — bit-equal to
+'sort', the production path for arbitrary non-negative f32 inputs),
+'index-u8' (vgg_16_UIE's sorted-index convention, exact on the u8 grid),
+and 'hist'/'hist-fast' (approximate, the six --fast tier).
 
 All functions take NHWC (or HWC) float32 and are jittable; percentile
 reduction is per-image, per-channel.
@@ -30,11 +33,46 @@ import numpy as np
 _U8_GRID = np.arange(256, dtype=np.float32) / np.float32(255.0)
 
 
+def _lerp_indices(n: int, l_low, l_high):
+    """np.percentile 'linear' indices/weights in f32, shared by the sort
+    oracle and the radix path so the two agree bit for bit: q = pct/100 *
+    (n-1); low/high = floor/ceil(q); weights (1-frac, frac)."""
+    qs = jnp.stack([jnp.asarray(l_low, jnp.float32),
+                    jnp.asarray(l_high, jnp.float32)]) / np.float32(100.0)
+    n_f = np.float32(n)
+    q = qs * (n_f - 1)
+    low = jnp.floor(q)
+    high_w = q - low
+    low_w = np.float32(1.0) - high_w
+    low_i = jnp.clip(low, 0, n_f - 1).astype(jnp.int32)
+    high_i = jnp.clip(jnp.ceil(q), 0, n_f - 1).astype(jnp.int32)
+    return low_i, high_i, low_w, high_w
+
+
+def _lerp_barrier(lv, hv, lw, hw):
+    """lv*lw + hv*hw with each product behind an optimization_barrier:
+    XLA otherwise contracts into fma(lv, lw, hv*hw) on some program
+    instances, shifting the percentile 1 ulp between paths — the same
+    discipline as the CLAHE bilinear chain
+    (ops/pallas_kernels._cv_bilinear_f32)."""
+    t = jax.lax.optimization_barrier((lv * lw, hv * hw))
+    return t[0] + t[1]
+
+
 def _perc_pair_sort(channel: jnp.ndarray, l_low, l_high):
-    """Exact (p_low, p_high) percentiles of a flattened channel, numpy rules."""
-    flat = channel.reshape(-1)
-    qs = jnp.stack([jnp.asarray(l_low, jnp.float32), jnp.asarray(l_high, jnp.float32)])
-    p = jnp.percentile(flat, qs)
+    """Exact (p_low, p_high) percentiles of a flattened channel — numpy's
+    linear-interpolation convention (np.percentile), via a full sort.
+
+    The parity oracle for the O(n) radix path below.  Implemented as an
+    explicit sort + gather + barriered lerp rather than jnp.percentile:
+    the identical order statistics and formula, but with deterministic
+    f32 rounding — jnp.percentile's own mul/mul/add FMA-contracts on
+    some backend instances, which would make bit-equality between two
+    different programs an unstable target."""
+    flat = jnp.sort(channel.reshape(-1))
+    n = flat.shape[0]
+    low_i, high_i, low_w, high_w = _lerp_indices(n, l_low, l_high)
+    p = _lerp_barrier(flat[low_i], flat[high_i], low_w, high_w)
     return p[0], p[1]
 
 
@@ -92,6 +130,98 @@ def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32,
 
     return (fine(h2_lo, below_lo, b_lo, t_lo),
             fine(h2_hi, below_hi, b_hi, t_hi))
+
+
+def _order_stats_radix_f32(keys: jnp.ndarray, ranks):
+    """Exact order statistics of non-negative-f32 bit-pattern keys, O(n).
+
+    keys: (n,) int32 — float32 values bitcast to int32.  For x >= 0 the
+    IEEE bit pattern is monotone in the value, so selecting the i-th
+    smallest key selects the i-th smallest float.  ranks: sequence of
+    int32 scalars (traced OK).
+
+    Radix select, 4 levels x 8 bits, one 256-bucket histogram per level
+    (histeq._histogram256: two-level one-hot MXU matmul, 32 compares/px)
+    over the candidates that match the prefix selected so far.  The
+    level-1 histogram is rank-independent and shared; levels 2-4 stack
+    all ranks' masked bucket rows into ONE (R, n) histogram call.  Total
+    ~4 histogram passes over the data vs the O(n log n) bitonic sort
+    jnp.percentile lowers to (measured 7.8 ms/channel @1080p on v5e —
+    over half the Phase-1 label program; this path is ~10x cheaper).
+    """
+    from underwater_image_enhancement_tpu.ops.histeq import _histogram256
+
+    n = keys.shape[0]
+    R = len(ranks)
+    ranks = [r.astype(jnp.int32) for r in ranks]
+
+    def pick(hist, i_rel):
+        """hist: (256,) i32 counts; i_rel: i32 rank within candidates.
+        Returns (bucket index i32, count below that bucket i32)."""
+        cum = jnp.cumsum(hist)
+        sel = jnp.sum((cum <= i_rel).astype(jnp.int32))  # first cum > i
+        below = jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0)
+        return sel, below
+
+    # level 1: bits 31-24, all elements are candidates, one shared pass
+    h1 = _histogram256((keys >> 24)[None, :])[0]
+    prefs, rels = [], []
+    for r in ranks:
+        sel, below = pick(h1, r)
+        prefs.append(sel << 24)
+        rels.append(r - below)
+
+    for shift in (16, 8, 0):
+        # stack every rank's masked bucket row -> one histogram call
+        rows = []
+        for pref in prefs:
+            cand = (keys >> (shift + 8)) == (pref >> (shift + 8))
+            bucket = (keys >> shift) & 255
+            # non-candidates get bucket -16: hi nibble -1 matches no
+            # one-hot bin, so they contribute nothing
+            rows.append(jnp.where(cand, bucket, -16))
+        hists = _histogram256(jnp.stack(rows))
+        for j in range(R):
+            sel, below = pick(hists[j], rels[j])
+            prefs[j] = prefs[j] | (sel << shift)
+            rels[j] = rels[j] - below
+    return prefs
+
+
+def percentiles_radix(channel: jnp.ndarray, pcts) -> jnp.ndarray:
+    """EXACT np.percentile-convention percentiles in O(n) for non-negative
+    float32 channels (every caller's input in this repo is clipped to
+    [0, 1] upstream: dehaze.recover_planes, CLAHE, hist-eq, u8 gray).
+
+    pcts: static sequence of percentiles.  Selects every floor/ceil order
+    statistic with the radix select above in ONE shared set of histogram
+    passes — the identical floats a full sort would produce — then
+    interpolates through the same _lerp_indices/_lerp_barrier helpers as
+    the sort oracle, so the result is bit-equal on every backend (gated
+    in tests/test_stretch_radix.py).  Returns (len(pcts),) f32."""
+    flat = channel.reshape(-1)
+    n = flat.shape[0]
+    lows, highs, low_ws, high_ws = [], [], [], []
+    for p in pcts:
+        li, hi_, lw, hw = _lerp_indices(n, p, p)
+        lows.append(li[0])
+        highs.append(hi_[0])
+        low_ws.append(lw[0])
+        high_ws.append(hw[0])
+
+    keys = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    sel = _order_stats_radix_f32(
+        keys, [r for pair in zip(lows, highs) for r in pair])
+    vals = [jax.lax.bitcast_convert_type(k, jnp.float32) for k in sel]
+    return _lerp_barrier(jnp.stack(vals[0::2]), jnp.stack(vals[1::2]),
+                         jnp.stack(low_ws), jnp.stack(high_ws))
+
+
+def _perc_pair_radix(channel: jnp.ndarray, l_low, l_high):
+    """(p_low, p_high) via percentiles_radix — the production percentile
+    for the Phase-1 label strategies (pipeline/strategies.py)."""
+    p = percentiles_radix(channel, (l_low, l_high))
+    return p[0], p[1]
 
 
 def _perc_pair_index_u8(channel: jnp.ndarray, l_low, l_high):
@@ -158,11 +288,15 @@ def stretch_channel(channel: jnp.ndarray, l_low, l_high, eps: float = 1e-10,
     """(channel - p_low) / (p_high - p_low + eps), clipped to [0,1].
 
     method: 'sort' (exact np.percentile interpolation, the parity oracle),
-    'index-u8' (EXACT sorted-index percentile for u8-grid inputs, O(n) —
-    the production enhance() path), 'hist' (two-level histogram),
-    'hist-fast' (histogram on a stride-8 row subsample)."""
+    'radix' (EXACT np.percentile via O(n) radix select — the production
+    path for arbitrary non-negative f32 inputs, e.g. the Phase-1 label
+    strategies), 'index-u8' (EXACT sorted-index percentile for u8-grid
+    inputs, O(n) — the production enhance() path), 'hist' (two-level
+    histogram), 'hist-fast' (histogram on a stride-8 row subsample)."""
     if method == "sort":
         p_low, p_high = _perc_pair_sort(channel, l_low, l_high)
+    elif method == "radix":
+        p_low, p_high = _perc_pair_radix(channel, l_low, l_high)
     elif method == "index-u8":
         p_low, p_high = _perc_pair_index_u8(channel, l_low, l_high)
     elif method == "hist-fast":

@@ -47,7 +47,8 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
     A = quadtree_airlight_exact_planes(p)
     t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius, 0.001)
     rec = dehaze.recover_planes(p, t, A)
-    out = stretch.color_enhancement_planes(rec, l_low, l_high)
+    out = stretch.color_enhancement_planes(rec, l_low, l_high,
+                                            method="radix")
     if apply_gamma:
         out = tuple(stretch.gamma_correction_inv(c, gamma) for c in out)
     return jnp.stack(out, axis=-1)
@@ -89,7 +90,8 @@ def clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
     def one(im):
         c = histeq.clahe_enhancement_planes(_split(im), 2.0, 8, 8)
         return jnp.stack(
-            stretch.color_enhancement_planes(c, 20.0, 85.0), axis=-1
+            stretch.color_enhancement_planes(c, 20.0, 85.0,
+                                             method="radix"), axis=-1
         )
 
     return _per_image(one, img)
@@ -101,7 +103,8 @@ def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
     def one(im):
         e = histeq.histogram_equalization_planes(_split(im))
         return jnp.stack(
-            stretch.color_enhancement_planes(e, 10.0, 95.0), axis=-1
+            stretch.color_enhancement_planes(e, 10.0, 95.0,
+                                             method="radix"), axis=-1
         )
 
     return _per_image(one, img)
@@ -172,7 +175,8 @@ def _apply_custom(img, strategy_name: str, frozen):
                 *(p.get("tile_grid_size", (8, 8))),
             )
             out = stretch.color_enhancement_planes(
-                c, float(p.get("L_low", 20.0)), float(p.get("L_high", 85.0))
+                c, float(p.get("L_low", 20.0)), float(p.get("L_high", 85.0)),
+                method="radix",
             )
             if p.get("apply_gamma", False):
                 out = tuple(stretch.gamma_correction_inv(
@@ -184,7 +188,8 @@ def _apply_custom(img, strategy_name: str, frozen):
     def one(im):
         e = histeq.histogram_equalization_planes(_split(im))
         out = stretch.color_enhancement_planes(
-            e, float(p.get("L_low", 10.0)), float(p.get("L_high", 95.0))
+            e, float(p.get("L_low", 10.0)), float(p.get("L_high", 95.0)),
+            method="radix",
         )
         if p.get("apply_gamma", False):
             out = tuple(stretch.gamma_correction_inv(
