@@ -66,6 +66,19 @@ def test_radix_subnormal_and_exact_one(rng):
     assert want == got, (want, got)
 
 
+def test_color_enhancement_planes_radix_joint(rng):
+    # the joint 3-channel path (one histogram call per radix level over
+    # all channel x rank rows) == the per-channel sort oracle, bit-exact
+    planes = tuple(jnp.asarray(rng.random((91, 123)).astype(np.float32))
+                   for _ in range(3))
+    want = stretch.color_enhancement_planes(planes, 15.0, 92.0,
+                                            method="sort")
+    got = stretch.color_enhancement_planes(planes, 15.0, 92.0,
+                                           method="radix")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_stretch_channel_radix_method(rng):
     x = rng.random((96, 128)).astype(np.float32)
     a = np.asarray(stretch.stretch_channel(jnp.asarray(x), 15.0, 95.0,

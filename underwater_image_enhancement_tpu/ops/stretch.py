@@ -132,89 +132,119 @@ def _perc_pair_hist(channel: jnp.ndarray, l_low, l_high, k: int = 32,
             fine(h2_hi, below_hi, b_hi, t_hi))
 
 
-def _order_stats_radix_f32(keys: jnp.ndarray, ranks):
+def _pick_bucket(hist, i_rel):
+    """hist: (256,) i32 counts; i_rel: i32 rank within candidates.
+    Returns (bucket index i32, count below that bucket i32)."""
+    cum = jnp.cumsum(hist)
+    sel = jnp.sum((cum <= i_rel).astype(jnp.int32))  # first cum > i
+    below = jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0)
+    return sel, below
+
+
+def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
     """Exact order statistics of non-negative-f32 bit-pattern keys, O(n).
 
-    keys: (n,) int32 — float32 values bitcast to int32.  For x >= 0 the
-    IEEE bit pattern is monotone in the value, so selecting the i-th
-    smallest key selects the i-th smallest float.  ranks: sequence of
-    int32 scalars (traced OK).
+    keys: (C, n) int32 — float32 values bitcast to int32, one row per
+    channel.  For x >= 0 the IEEE bit pattern is monotone in the value,
+    so selecting the i-th smallest key selects the i-th smallest float.
+    ranks_per_row: per row, a sequence of int32 scalar ranks (traced OK).
+    Returns the matching nested lists of selected int32 keys.
 
     Radix select, 4 levels x 8 bits, one 256-bucket histogram per level
     (histeq._histogram256: two-level one-hot MXU matmul, 32 compares/px)
-    over the candidates that match the prefix selected so far.  The
-    level-1 histogram is rank-independent and shared; levels 2-4 stack
-    all ranks' masked bucket rows into ONE (R, n) histogram call.  Total
-    ~4 histogram passes over the data vs the O(n log n) bitonic sort
-    jnp.percentile lowers to (measured 7.8 ms/channel @1080p on v5e —
-    over half the Phase-1 label program; this path is ~10x cheaper).
+    over the candidates that match the prefix selected so far.  EVERY
+    (row, rank) shares each level's single _histogram256 call: the
+    level-1 pass is rank-independent (C rows), levels 2-4 stack all
+    (row, rank) masked bucket rows into one (R, n) call.  ~4 histogram
+    passes over the data vs the O(n log n) bitonic sort jnp.percentile
+    lowers to (measured 7.8 ms/channel @1080p on v5e — over half the
+    Phase-1 label program; this path is ~10x cheaper).
     """
     from underwater_image_enhancement_tpu.ops.histeq import _histogram256
 
-    n = keys.shape[0]
-    R = len(ranks)
-    ranks = [r.astype(jnp.int32) for r in ranks]
-
-    def pick(hist, i_rel):
-        """hist: (256,) i32 counts; i_rel: i32 rank within candidates.
-        Returns (bucket index i32, count below that bucket i32)."""
-        cum = jnp.cumsum(hist)
-        sel = jnp.sum((cum <= i_rel).astype(jnp.int32))  # first cum > i
-        below = jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0)
-        return sel, below
-
-    # level 1: bits 31-24, all elements are candidates, one shared pass
-    h1 = _histogram256((keys >> 24)[None, :])[0]
-    prefs, rels = [], []
-    for r in ranks:
-        sel, below = pick(h1, r)
-        prefs.append(sel << 24)
-        rels.append(r - below)
+    # level 1: bits 31-24, all elements are candidates, one pass per row
+    h1 = _histogram256(keys >> 24)  # (C, 256)
+    prefs, rels, row_of = [], [], []
+    for c, ranks in enumerate(ranks_per_row):
+        for r in ranks:
+            sel, below = _pick_bucket(h1[c], r.astype(jnp.int32))
+            prefs.append(sel << 24)
+            rels.append(r.astype(jnp.int32) - below)
+            row_of.append(c)
 
     for shift in (16, 8, 0):
-        # stack every rank's masked bucket row -> one histogram call
         rows = []
-        for pref in prefs:
-            cand = (keys >> (shift + 8)) == (pref >> (shift + 8))
-            bucket = (keys >> shift) & 255
+        for j, c in enumerate(row_of):
+            cand = (keys[c] >> (shift + 8)) == (prefs[j] >> (shift + 8))
+            bucket = (keys[c] >> shift) & 255
             # non-candidates get bucket -16: hi nibble -1 matches no
             # one-hot bin, so they contribute nothing
             rows.append(jnp.where(cand, bucket, -16))
         hists = _histogram256(jnp.stack(rows))
-        for j in range(R):
-            sel, below = pick(hists[j], rels[j])
+        for j in range(len(prefs)):
+            sel, below = _pick_bucket(hists[j], rels[j])
             prefs[j] = prefs[j] | (sel << shift)
             rels[j] = rels[j] - below
-    return prefs
+
+    out, k = [], 0
+    for ranks in ranks_per_row:
+        out.append(prefs[k:k + len(ranks)])
+        k += len(ranks)
+    return out
 
 
-def percentiles_radix(channel: jnp.ndarray, pcts) -> jnp.ndarray:
+def percentiles_radix_planes(planes, pcts):
     """EXACT np.percentile-convention percentiles in O(n) for non-negative
     float32 channels (every caller's input in this repo is clipped to
     [0, 1] upstream: dehaze.recover_planes, CLAHE, hist-eq, u8 gray).
 
-    pcts: static sequence of percentiles.  Selects every floor/ceil order
-    statistic with the radix select above in ONE shared set of histogram
-    passes — the identical floats a full sort would produce — then
-    interpolates through the same _lerp_indices/_lerp_barrier helpers as
-    the sort oracle, so the result is bit-equal on every backend (gated
-    in tests/test_stretch_radix.py).  Returns (len(pcts),) f32."""
-    flat = channel.reshape(-1)
-    n = flat.shape[0]
-    lows, highs, low_ws, high_ws = [], [], [], []
+    planes: same-shape channels (selected jointly — every channel and
+    percentile shares each radix level's single histogram call).  pcts:
+    static sequence of percentiles.  Only the FLOOR order statistic of
+    each percentile goes through the radix select; the ceil statistic
+    s[i+1] comes from one fused compare/min pass over the keys:
+    s[i+1] = s[i] when count(x <= s[i]) >= i+2, else min(x > s[i]) —
+    identical floats to a full sort either way.  Interpolation goes
+    through the same _lerp_indices/_lerp_barrier helpers as the sort
+    oracle, so results are bit-equal on every backend (gated in
+    tests/test_stretch_radix.py).  Returns one (len(pcts),) f32 array
+    per plane."""
+    flats = [p.reshape(-1) for p in planes]
+    n = flats[0].shape[0]
+    low_is, low_ws, high_ws = [], [], []
     for p in pcts:
-        li, hi_, lw, hw = _lerp_indices(n, p, p)
-        lows.append(li[0])
-        highs.append(hi_[0])
+        li, _, lw, hw = _lerp_indices(n, p, p)
+        low_is.append(li[0])
         low_ws.append(lw[0])
         high_ws.append(hw[0])
+    i1 = jnp.stack(low_is) + 1  # ceil ranks (s[i+1]; weight 0 if q integral)
+    lw = jnp.stack(low_ws)
+    hw = jnp.stack(high_ws)
 
-    keys = jax.lax.bitcast_convert_type(flat, jnp.int32)
-    sel = _order_stats_radix_f32(
-        keys, [r for pair in zip(lows, highs) for r in pair])
-    vals = [jax.lax.bitcast_convert_type(k, jnp.float32) for k in sel]
-    return _lerp_barrier(jnp.stack(vals[0::2]), jnp.stack(vals[1::2]),
-                         jnp.stack(low_ws), jnp.stack(high_ws))
+    keys = jnp.stack([jax.lax.bitcast_convert_type(f, jnp.int32)
+                      for f in flats])
+    sel = _order_stats_radix_multi(keys, [low_is] * len(planes))
+
+    imax = np.int32(np.iinfo(np.int32).max)
+    outs = []
+    for c in range(len(planes)):
+        lo_keys = jnp.stack(sel[c])  # (P,) int32
+        gt = keys[c][None, :] > lo_keys[:, None]
+        cnt_le = jnp.sum(jnp.logical_not(gt), axis=1).astype(jnp.int32)
+        min_gt = jnp.min(jnp.where(gt, keys[c][None, :], imax), axis=1)
+        # s[i+1] == s[i] when ties cover rank i+1; clamp at the top
+        # (i+1 >= n can only pair with hw == 0, but min_gt would be the
+        # imax sentinel whose bitcast is NaN — NaN * 0 poisons the lerp)
+        hi_keys = jnp.where((cnt_le >= i1 + 1) | (i1 >= n), lo_keys, min_gt)
+        lv = jax.lax.bitcast_convert_type(lo_keys, jnp.float32)
+        hv = jax.lax.bitcast_convert_type(hi_keys, jnp.float32)
+        outs.append(_lerp_barrier(lv, hv, lw, hw))
+    return tuple(outs)
+
+
+def percentiles_radix(channel: jnp.ndarray, pcts) -> jnp.ndarray:
+    """Single-channel percentiles_radix_planes: (len(pcts),) f32."""
+    return percentiles_radix_planes((channel,), pcts)[0]
 
 
 def _perc_pair_radix(channel: jnp.ndarray, l_low, l_high):
@@ -359,7 +389,16 @@ def gray_world_white_balance(img: jnp.ndarray) -> jnp.ndarray:
 
 def color_enhancement_planes(planes, l_low=15.0, l_high=95.0,
                              eps: float = 1e-10, method: str = "sort"):
-    """Channel-first per-channel percentile stretch: (r, g, b) planes."""
+    """Channel-first per-channel percentile stretch: (r, g, b) planes.
+
+    method='radix' selects all three channels' percentiles jointly, so
+    each radix level runs as ONE histogram call over 6 (channel, rank)
+    rows instead of three independent per-channel programs."""
+    if method == "radix":
+        pairs = percentiles_radix_planes(planes, (l_low, l_high))
+        return tuple(
+            jnp.clip((p - pr[0]) / (pr[1] - pr[0] + eps), 0.0, 1.0)
+            for p, pr in zip(planes, pairs))
     return tuple(stretch_channel(p, l_low, l_high, eps, method) for p in planes)
 
 
