@@ -2,6 +2,7 @@
 
 import cv2
 import numpy as np
+import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops import edges
 from underwater_image_enhancement_tpu.testing.golden import gray_unit
@@ -64,3 +65,36 @@ def test_canny_structured():
     agree, d_got, d_want = _canny_agreement(img)
     assert agree > 0.995
     assert abs(d_got - d_want) < 0.005
+
+
+def test_hysteresis_packed_bit_identical_to_loop(rng):
+    """Row-packed propagation == the naive dilate loop, bit for bit, at
+    32-indivisible heights, short planes, narrow planes, and batched."""
+    from underwater_image_enhancement_tpu.ops.edges import (
+        _dilate8, _hysteresis_packed)
+    import jax
+
+    def loop(strong, weak, iters):
+        e = jnp.asarray(strong)
+        w = jnp.asarray(weak)
+        for _ in range(iters):
+            e = e | (w & _dilate8(e))
+        return np.asarray(e)
+
+    for shape, iters in [((67, 90), 64), ((17, 40), 8), ((200, 31), 64),
+                         ((32, 32), 3), ((1, 5), 4)]:
+        strong = (rng.random(shape) < 0.02).astype(np.int32)
+        weak = ((rng.random(shape) < 0.4).astype(np.int32)) & (1 - strong)
+        got = np.asarray(_hysteresis_packed(
+            jnp.asarray(strong), jnp.asarray(weak), iters))
+        np.testing.assert_array_equal(got, loop(strong, weak, iters))
+
+    # vmapped: the label program maps canny over batch x strategies
+    B = 3
+    strong = (rng.random((B, 45, 70)) < 0.02).astype(np.int32)
+    weak = ((rng.random((B, 45, 70)) < 0.4).astype(np.int32)) & (1 - strong)
+    got = np.asarray(jax.vmap(
+        lambda s, w: _hysteresis_packed(s, w, 16))(jnp.asarray(strong),
+                                                   jnp.asarray(weak)))
+    for i in range(B):
+        np.testing.assert_array_equal(got[i], loop(strong[i], weak[i], 16))
