@@ -150,15 +150,17 @@ def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
     ranks_per_row: per row, a sequence of int32 scalar ranks (traced OK).
     Returns the matching nested lists of selected int32 keys.
 
-    Radix select, 4 levels x 8 bits, one 256-bucket histogram per level
-    (histeq._histogram256: two-level one-hot MXU matmul, 32 compares/px)
-    over the candidates that match the prefix selected so far.  EVERY
-    (row, rank) shares each level's single _histogram256 call: the
-    level-1 pass is rank-independent (C rows), levels 2-4 stack all
-    (row, rank) masked bucket rows into one (R, n) call.  ~4 histogram
-    passes over the data vs the O(n log n) bitonic sort jnp.percentile
-    lowers to (measured 7.8 ms/channel @1080p on v5e — over half the
-    Phase-1 label program; this path is ~10x cheaper).
+    Radix select, 4 levels x 8 bits, one 256-bucket histogram per
+    (row, rank) per level (histeq._histogram256: two-level one-hot MXU
+    matmul, 32 compares/px) over the candidates that match the prefix
+    selected so far.  Each histogram is an INDEPENDENT (1, n) call so
+    the mask/bucket arithmetic stays an elementwise chain from keys and
+    fuses into the one-hot producer — an earlier jnp.stack of the masked
+    rows materialized (R, n) i32 in HBM per level, which dominated the
+    select (~50 MB written + re-read per level at 1080p x 3 channels).
+    ~4 fused passes over the data vs the O(n log n) bitonic sort
+    jnp.percentile lowers to (measured 7.8 ms/channel @1080p on v5e —
+    over half the Phase-1 label program; this path is ~10x cheaper).
     """
     from underwater_image_enhancement_tpu.ops.histeq import _histogram256
 
@@ -173,16 +175,14 @@ def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
             row_of.append(c)
 
     for shift in (16, 8, 0):
-        rows = []
         for j, c in enumerate(row_of):
             cand = (keys[c] >> (shift + 8)) == (prefs[j] >> (shift + 8))
             bucket = (keys[c] >> shift) & 255
             # non-candidates get bucket -16: hi nibble -1 matches no
             # one-hot bin, so they contribute nothing
-            rows.append(jnp.where(cand, bucket, -16))
-        hists = _histogram256(jnp.stack(rows))
-        for j in range(len(prefs)):
-            sel, below = _pick_bucket(hists[j], rels[j])
+            row = jnp.where(cand, bucket, -16)
+            hist = _histogram256(row[None, :])[0]
+            sel, below = _pick_bucket(hist, rels[j])
             prefs[j] = prefs[j] | (sel << shift)
             rels[j] = rels[j] - below
 
