@@ -104,7 +104,8 @@ def six_strategy_tuple(img: jnp.ndarray, fast: bool = False):
     workloads.)"""
     from underwater_image_enhancement_tpu.pipeline import six as six_mod
 
-    method = "hist-fast" if fast else "sort"
+    # exact tier: O(n) radix percentiles, bit-equal to the sort oracle
+    method = "hist-fast" if fast else "radix"
     corrected, code = cast_mod.detect_and_correct(img)
     A = six_mod._airlight(six_mod._split(corrected), method)
     outs = []

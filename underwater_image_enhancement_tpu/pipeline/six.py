@@ -158,8 +158,9 @@ def _jit_with_method(fn, method):
     return jitted
 
 
-# exact sort percentiles — the parity path
-SIX_STRATEGIES = {k: _jit_with_method(f, "sort") for k, f in _BUILDERS.items()}
+# exact percentiles via the O(n) radix select (bit-equal to the sort
+# oracle, ops/stretch.py) — the parity path
+SIX_STRATEGIES = {k: _jit_with_method(f, "radix") for k, f in _BUILDERS.items()}
 # hierarchical-histogram percentiles — the batch-throughput path
 SIX_STRATEGIES_FAST = {k: _jit_with_method(f, "hist-fast")
                        for k, f in _BUILDERS.items()}
