@@ -66,6 +66,17 @@ def test_radix_subnormal_and_exact_one(rng):
     assert want == got, (want, got)
 
 
+def test_radix_equal_and_close_percentiles(rng):
+    """Equal/adjacent percentiles share candidate prefixes at every level
+    — exercises the slotted histogram's first-match + fixup path."""
+    x = rng.random((77, 103)).astype(np.float32)
+    got = stretch.percentiles_radix(jnp.asarray(x), (50.0, 50.0, 50.001))
+    flat = jnp.asarray(x).reshape(-1)
+    for i, p in enumerate((50.0, 50.0, 50.001)):
+        a, _ = stretch._perc_pair_sort(flat, p, p)
+        assert float(got[i]) == float(a), (i, float(got[i]), float(a))
+
+
 def test_color_enhancement_planes_radix_joint(rng):
     # the joint 3-channel path (one histogram call per radix level over
     # all channel x rank rows) == the per-channel sort oracle, bit-exact

@@ -141,6 +141,31 @@ def _pick_bucket(hist, i_rel):
     return sel, below
 
 
+def _hist_slots(vals: jnp.ndarray, nslots: int) -> jnp.ndarray:
+    """(n,) int32 in {-16} U [0, 256*nslots) -> (256*nslots,) i32 counts.
+
+    Same two-level one-hot MXU contraction as histeq._histogram256 but
+    with a (16*nslots)-wide hi nibble, so ONE dot (and one fused read of
+    the keys) serves every rank slot of a channel at a radix level.
+    The -16 sentinel's hi nibble (-1) matches no bin.  Counts accumulate
+    exactly in f32 below 2^24; larger inputs are chunked."""
+    n = vals.shape[0]
+    CHUNK = 1 << 23
+    if n > CHUNK:
+        total = None
+        for s in range(0, n, CHUNK):
+            part = _hist_slots(vals[s:s + CHUNK], nslots)
+            total = part if total is None else total + part
+        return total
+    hi = ((vals >> 4)[:, None]
+          == jnp.arange(16 * nslots, dtype=jnp.int32)).astype(jnp.bfloat16)
+    lo = ((vals & 15)[:, None]
+          == jnp.arange(16, dtype=jnp.int32)).astype(jnp.bfloat16)
+    h = jax.lax.dot_general(hi, lo, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return h.reshape(256 * nslots).astype(jnp.int32)
+
+
 def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
     """Exact order statistics of non-negative-f32 bit-pattern keys, O(n).
 
@@ -150,15 +175,15 @@ def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
     ranks_per_row: per row, a sequence of int32 scalar ranks (traced OK).
     Returns the matching nested lists of selected int32 keys.
 
-    Radix select, 4 levels x 8 bits, one 256-bucket histogram per
-    (row, rank) per level (histeq._histogram256: two-level one-hot MXU
-    matmul, 32 compares/px) over the candidates that match the prefix
-    selected so far.  Each histogram is an INDEPENDENT (1, n) call so
-    the mask/bucket arithmetic stays an elementwise chain from keys and
-    fuses into the one-hot producer — an earlier jnp.stack of the masked
-    rows materialized (R, n) i32 in HBM per level, which dominated the
-    select (~50 MB written + re-read per level at 1080p x 3 channels).
-    ~4 fused passes over the data vs the O(n log n) bitonic sort
+    Radix select, 4 levels x 8 bits, one SLOTTED histogram per channel
+    per level (_hist_slots: two-level one-hot MXU matmul) over the
+    candidates that match each rank's prefix selected so far — all of a
+    channel's ranks share one dot and one fused read of the keys.  The
+    mask/bucket arithmetic stays an elementwise chain from keys that
+    fuses into the one-hot producer: an earlier jnp.stack of masked rows
+    materialized (R, n) i32 in HBM per level, which dominated the select
+    (~50 MB written + re-read per level at 1080p x 3 channels).  ~4
+    fused passes over the data vs the O(n log n) bitonic sort
     jnp.percentile lowers to (measured 7.8 ms/channel @1080p on v5e —
     over half the Phase-1 label program; this path is ~10x cheaper).
     """
@@ -175,16 +200,35 @@ def _order_stats_radix_multi(keys: jnp.ndarray, ranks_per_row):
             row_of.append(c)
 
     for shift in (16, 8, 0):
-        for j, c in enumerate(row_of):
-            cand = (keys[c] >> (shift + 8)) == (prefs[j] >> (shift + 8))
-            bucket = (keys[c] >> shift) & 255
-            # non-candidates get bucket -16: hi nibble -1 matches no
-            # one-hot bin, so they contribute nothing
-            row = jnp.where(cand, bucket, -16)
-            hist = _histogram256(row[None, :])[0]
-            sel, below = _pick_bucket(hist, rels[j])
-            prefs[j] = prefs[j] | (sel << shift)
-            rels[j] = rels[j] - below
+        idx = 0
+        for c, ranks in enumerate(ranks_per_row):
+            R = len(ranks)
+            g = list(range(idx, idx + R))
+            idx += R
+            # ONE slotted histogram per channel per level: each rank's
+            # candidates land in its own 256-bin slot; an element whose
+            # prefix matches several ranks goes to the FIRST match (the
+            # jj=0 where is applied last), and the equal-prefix fixup
+            # below reads that slot for the later ranks.  Non-candidates
+            # get -16: hi nibble -1 matches no one-hot bin.
+            base = (keys[c] >> shift) & 255
+            bucket = jnp.full_like(keys[c], -16)
+            cprefs = [prefs[j] >> (shift + 8) for j in g]
+            for jj in range(R - 1, -1, -1):
+                cand = (keys[c] >> (shift + 8)) == cprefs[jj]
+                bucket = jnp.where(cand, base + 256 * jj, bucket)
+            hist = _hist_slots(bucket, R)
+            raws = [hist[256 * jj:256 * (jj + 1)] for jj in range(R)]
+            for jj in range(R):
+                j = g[jj]
+                h_j = raws[jj]
+                # equal candidate prefixes share one candidate set whose
+                # elements sit in the first matching slot
+                for kk in range(jj - 1, -1, -1):
+                    h_j = jnp.where(cprefs[kk] == cprefs[jj], raws[kk], h_j)
+                sel, below = _pick_bucket(h_j, rels[j])
+                prefs[j] = prefs[j] | (sel << shift)
+                rels[j] = rels[j] - below
 
     out, k = [], 0
     for ranks in ranks_per_row:
