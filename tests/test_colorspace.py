@@ -106,6 +106,27 @@ def test_lab_exact_bit_exact_roundtrip(rgb_u8, underwater_img):
         np.testing.assert_array_equal(inv, want_inv)
 
 
+def test_lab_l_only_tier_bit_identical(rgb_u8, underwater_img):
+    """The L-only forward tier (one CBRT lookup, one output plane — the
+    brightness-metric path) must equal the full conversion's L channel
+    bit-for-bit, on both impls, plain and vmapped, at odd shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    for img in [rgb_u8, (underwater_img * 255).astype(np.uint8),
+                rgb_u8[: rgb_u8.shape[0] - 3, : rgb_u8.shape[1] - 5]]:
+        u8 = jnp.asarray(img.astype(np.int32))
+        want = np.asarray(cs.rgb_to_lab_u8_exact(u8)[..., 0])
+        for impl in ("xla", "pallas"):
+            got = np.asarray(cs.rgb_to_lab_l_u8_exact(u8, impl=impl))
+            np.testing.assert_array_equal(got, want, err_msg=impl)
+    # vmapped (the label program's batch path)
+    batch = jnp.stack([jnp.asarray(rgb_u8.astype(np.int32))] * 3)
+    got_b = np.asarray(jax.vmap(cs.rgb_to_lab_l_u8_exact)(batch))
+    want_b = np.asarray(jax.vmap(lambda x: cs.rgb_to_lab_u8_exact(x)[..., 0])(batch))
+    np.testing.assert_array_equal(got_b, want_b)
+
+
 def test_surrogate_lookups_full_domain():
     """The f32 surrogate + device-probed correction must reproduce every
     static table entry on this backend, evaluated INSIDE a composed jit (the

@@ -46,7 +46,9 @@ def assess_all(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     gray_u8 = cs.rgb_to_gray_u8(u8)
     gray = cs.u8_to_unit(gray_u8)
     hsv = cs.rgb_to_hsv_u8(u8)
-    lab_l = cs.rgb_to_lab_u8_exact(u8)[..., 0].astype(jnp.float32)
+    # L-only tier: brightness reads only mean L — one CBRT lookup and one
+    # output plane instead of three (bit-identical to the full conversion)
+    lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
 
     scores = {}
     # contrast (:25-33)

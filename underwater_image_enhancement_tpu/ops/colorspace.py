@@ -389,6 +389,40 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
     return clip(L), clip(a), clip(b)
 
 
+def rgb_to_lab_l_u8_exact(rgb_u8: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """L plane only of cv2.COLOR_RGB2LAB on uint8, BIT-EXACT.
+
+    The brightness metric (quality_assessment.py:99-123) reads only
+    mean L; computing fX/fZ and writing the a/b planes is pure waste
+    there — this tier does one CBRT lookup and one output plane.
+    Bit-identical to rgb_to_lab_u8_exact(...)[..., 0]."""
+    r, g, b_ = rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2]
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        if r.ndim == 2:
+            return pk.lab_forward_l_plane(r, g, b_)
+        if not pk.is_batched(r, g, b_):
+            shp = r.shape
+            flat = tuple(x.reshape(-1, shp[-1]) for x in (r, g, b_))
+            return pk.lab_forward_l_plane(*flat).reshape(shp)
+        # vmap trace with extra explicit dims: fall through to XLA
+    from underwater_image_enhancement_tpu.ops import lab_tables as lt
+
+    R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
+    G = _corrected_lookup(g.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
+    B = _corrected_lookup(b_.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
+    C = lt.COEFFS
+    acc = R * int(C[1, 0]) + G * int(C[1, 1]) + B * int(C[1, 2])
+    idx = jnp.clip((acc + (1 << (lt.LAB_SHIFT - 1))) >> lt.LAB_SHIFT,
+                   0, lt.NCBRT - 1)
+    fY = _corrected_lookup(idx, lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
+    L = (lt.L_SCALE * fY + lt.L_SHIFT + (1 << (lt.LAB_SHIFT2 - 1))) >> lt.LAB_SHIFT2
+    return jnp.clip(L, 0, 255)
+
+
 def rgb_unit_to_lab_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
                            impl: str = "auto"):
     """quantize_u8 + bit-exact RGB2LAB on float unit planes.  On TPU the

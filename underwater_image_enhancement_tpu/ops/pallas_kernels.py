@@ -569,15 +569,15 @@ def _apply_corrections(v: jnp.ndarray, idx: jnp.ndarray, corr):
 # around 90 dB).  tests/test_tpu_hw.py pins both behaviors on hardware.
 
 
-def _make_lab_fwd_kernel(unit_in: bool, cbrt_corr=None):
+def _make_lab_fwd_kernel(unit_in: bool, cbrt_corr=None, l_only: bool = False):
     def _lab_fwd_kernel(r_ref, g_ref, b_ref, gam_ref, *rest):
         from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
         if cbrt_corr is None:
-            cbrt_ref, L_ref, a_ref, bb_ref = rest
+            cbrt_ref, L_ref, *ab_refs = rest
             cbrt = cbrt_ref[...]  # (12, 128) i32, two 16-bit entries/word
         else:
-            L_ref, a_ref, bb_ref = rest
+            L_ref, *ab_refs = rest
         if unit_in:
             # colorspace.quantize_u8 semantics in-kernel: clip + TRUNCATE
             q = lambda v: jnp.clip(v * jnp.float32(255.0),
@@ -605,12 +605,15 @@ def _make_lab_fwd_kernel(unit_in: bool, cbrt_corr=None):
             word = _seg_gather(cbrt, idx >> 1, 12)
             return (word >> ((idx & 1) << 4)) & 0xFFFF
 
-        fX = cbrt_lookup(0)
         fY = cbrt_lookup(1)
-        fZ = cbrt_lookup(2)
         clip = lambda v: jnp.clip(v, 0, 255)
         L_ref[...] = clip(_descale(lt.L_SCALE * fY + lt.L_SHIFT,
                                    lt.LAB_SHIFT2))
+        if l_only:
+            return  # brightness-metric tier: skip fX/fZ and the a/b planes
+        a_ref, bb_ref = ab_refs
+        fX = cbrt_lookup(0)
+        fZ = cbrt_lookup(2)
         a_ref[...] = clip(_descale(500 * (fX - fY) + (128 << lt.LAB_SHIFT2),
                                    lt.LAB_SHIFT2))
         bb_ref[...] = clip(_descale(200 * (fY - fZ) + (128 << lt.LAB_SHIFT2),
@@ -744,7 +747,7 @@ def _row_tile(H: int) -> int:
     return TILE_LAB
 
 
-def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
+def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype, n_out=3):
     """Shared launch for the plane-wise LAB kernels: pad to (tile, 128)
     tiles (none when the tile divides), run, crop."""
     H, W = inputs[0].shape
@@ -765,18 +768,21 @@ def _lab_plane_call(kernel, inputs, tables, in_dtype, out_dtype):
         kernel,
         grid=grid,
         in_specs=[img_spec] * len(padded) + [tab(t.shape[0]) for t in tables],
-        out_specs=[img_spec, img_spec, img_spec],
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), out_dtype)] * 3,
+        out_specs=[img_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), out_dtype)] * n_out,
         interpret=_interpret(),
     )(*padded, *(jnp.asarray(t) for t in tables))
     return tuple(o[:H, :W] for o in outs)
 
 
-def _make_lab_forward(unit_in: bool, fast=False):
+def _make_lab_forward(unit_in: bool, fast=False, l_only: bool = False):
     """fast=False: exact 12-segment CBRT gather.  fast=True: arithmetic
     surrogate + probe corrections (bit-identical by construction, modulo
     the documented per-instance ulp instability).  fast="approx2":
-    2-step-Newton surrogate, no corrections — the six --fast tier."""
+    2-step-Newton surrogate, no corrections — the six --fast tier.
+    l_only: compute/write ONLY the L plane (one CBRT lookup instead of
+    three, one output plane's HBM write instead of three) — the
+    brightness-metric tier; returns a single plane."""
 
     @jax.custom_batching.custom_vmap
     def fwd(r, g, b):
@@ -784,10 +790,12 @@ def _make_lab_forward(unit_in: bool, fast=False):
             corr = "approx2"
         else:
             corr = _corrections("cbrt") if fast else None
-        return _lab_plane_call(
-            _make_lab_fwd_kernel(unit_in, corr), (r, g, b),
+        outs = _lab_plane_call(
+            _make_lab_fwd_kernel(unit_in, corr, l_only), (r, g, b),
             _lab_fwd_tables(with_cbrt=corr is None),
-            jnp.float32 if unit_in else jnp.int32, jnp.int32)
+            jnp.float32 if unit_in else jnp.int32, jnp.int32,
+            n_out=1 if l_only else 3)
+        return outs[0] if l_only else outs
 
     _pointwise_flatten_vmap(fwd)
     return jax.jit(fwd)
@@ -818,6 +826,8 @@ def _pointwise_flatten_vmap(fn):
         shp = args[0].shape              # (B, H, W)
         flat = tuple(a.reshape(-1, shp[-1]) for a in args)
         outs = fn(*flat)
+        if not isinstance(outs, tuple):
+            return outs.reshape(shp), True
         return tuple(o.reshape(shp) for o in outs), (True,) * len(outs)
 
     fn.def_vmap(rule)
@@ -832,6 +842,14 @@ lab_forward_planes.__doc__ = (
     (lab_tables.py cites the OpenCV sources), with the GAMMA/CBRT tables as
     in-VMEM lane gathers instead of arithmetic surrogates.  vmap-safe: the
     custom_vmap rule folds the batch dim into rows (pointwise map).""")
+
+lab_forward_l_plane = _make_lab_forward(False, l_only=True)
+lab_forward_l_plane.__doc__ = (
+    """L plane only of bit-exact cv2 RGB2LAB on u8-valued int32 planes:
+    one CBRT lookup (fY) instead of three and one output plane's HBM
+    write instead of three — the brightness metric
+    (quality_assessment.py:99-123) reads only mean L.  Bit-identical to
+    lab_forward_planes[0].""")
 
 lab_forward_planes_unit = _make_lab_forward(True)
 lab_forward_planes_unit.__doc__ = (
