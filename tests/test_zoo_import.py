@@ -166,6 +166,267 @@ def test_resnet18_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _torch_efficientnet_modules(variant="b0"):
+    """torchvision-graph efficientnet feature extractor (classifier dropped,
+    which is how the reference uses it: model_architectures.py:87) —
+    submodule nesting produces torchvision's exact state_dict keys
+    (features.0.{0,1}, features.{s}.{b}.block.{j}.., features.8.{0,1})."""
+    import math
+
+    import torch.nn as tnn
+
+    from underwater_image_enhancement_tpu.models.zoo import (
+        _EFFNET_MULTS, _EFFNET_STAGES, _make_divisible)
+
+    width, depth = _EFFNET_MULTS[variant]
+
+    def conv_bn_act(cin, cout, k, s, groups=1, act=True):
+        layers = [tnn.Conv2d(cin, cout, k, s, k // 2, groups=groups,
+                             bias=False), tnn.BatchNorm2d(cout)]
+        if act:
+            layers.append(tnn.SiLU())
+        return tnn.Sequential(*layers)
+
+    class SE(tnn.Module):
+        def __init__(self, exp, sq):
+            super().__init__()
+            self.fc1 = tnn.Conv2d(exp, sq, 1)
+            self.fc2 = tnn.Conv2d(sq, exp, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = torch.sigmoid(self.fc2(torch.nn.functional.silu(self.fc1(s))))
+            return x * s
+
+    class MBConvT(tnn.Module):
+        def __init__(self, cin, cout, e, k, s):
+            super().__init__()
+            exp = cin * e
+            mods = [] if e == 1 else [conv_bn_act(cin, exp, 1, 1)]
+            mods += [conv_bn_act(exp, exp, k, s, groups=exp),
+                     SE(exp, max(1, cin // 4)),
+                     conv_bn_act(exp, cout, 1, 1, act=False)]
+            self.block = tnn.Sequential(*mods)
+            self.use_res = s == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            cin = _make_divisible(32 * width)
+            feats = [conv_bn_act(3, cin, 3, 2)]
+            for e, k, s, out, r in _EFFNET_STAGES:
+                cout = _make_divisible(out * width)
+                blocks = []
+                for b in range(int(math.ceil(r * depth))):
+                    blocks.append(MBConvT(cin, cout, e, k, s if b == 0 else 1))
+                    cin = cout
+                feats.append(tnn.Sequential(*blocks))
+            feats.append(conv_bn_act(cin, 4 * cin, 1, 1))
+            self.features = tnn.Sequential(*feats)
+
+        def forward(self, x):
+            return self.features(x).mean((2, 3))
+
+    return Net()
+
+
+@pytest.mark.parametrize("variant", ["b0", "b3"])
+def test_efficientnet_import_matches_torch(variant):
+    """Imported torchvision-format efficientnet weights reproduce the torch
+    backbone's pooled features (validates the SE fc1/fc2 mapping, depthwise
+    group transpose, expand=1 stage-1 layout, and the b3 width/depth
+    rounding)."""
+    import flax.linen as nn
+
+    from underwater_image_enhancement_tpu.models.zoo import (
+        EfficientNetParameterPredictor,
+        MBConv,
+        SIX_PARAM_RANGES,
+        _effnet_blocks,
+        load_torch_efficientnet,
+    )
+
+    torch.manual_seed(0)
+    ref = _torch_efficientnet_modules(variant)
+    with torch.no_grad():
+        for m in ref.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    model = EfficientNetParameterPredictor(variant=variant)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    imported = load_torch_efficientnet(variables, ref.state_dict(), variant)
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    stem, blocks, head = _effnet_blocks(variant)
+
+    class Backbone(nn.Module):
+        @nn.compact
+        def __call__(self, img):  # mirrors the predictor's trunk
+            h = nn.Conv(stem, (3, 3), strides=2, padding=1,
+                        use_bias=False)(img)
+            h = nn.BatchNorm(use_running_average=True)(h)
+            h = nn.swish(h)
+            for expand, kernel, stride, out_ch in blocks:
+                h = MBConv(out_ch, expand, kernel, stride)(h, train=False)
+            h = nn.Conv(head, (1, 1), use_bias=False)(h)
+            h = nn.BatchNorm(use_running_average=True)(h)
+            h = nn.swish(h)
+            return jnp.mean(h, axis=(1, 2))
+
+    keep = (["Conv_0", "BatchNorm_0", "Conv_1", "BatchNorm_1"]
+            + [f"MBConv_{i}" for i in range(len(blocks))])
+    sub = {"params": {k: imported["params"][k] for k in keep},
+           "batch_stats": {k: imported["batch_stats"][k] for k in keep
+                           if not k.startswith("Conv")}}
+    got = np.asarray(Backbone().apply(sub, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+    if variant == "b0":  # the full predictor still runs with the trunk
+        out = model.apply(imported, jnp.asarray(x), train=False)
+        for name, (lo, hi) in SIX_PARAM_RANGES.items():
+            v = np.asarray(out[name])
+            assert np.all(v >= lo) and np.all(v <= hi)
+
+
+def _torch_vit_modules(patch=8, dim=64, depth=2, heads=4, img=32):
+    """torchvision-graph vit feature extractor (heads dropped, which is how
+    the reference uses it: model_architectures.py:131) — submodule names
+    produce torchvision's exact state_dict keys (conv_proj, class_token,
+    encoder.layers.encoder_layer_i.{ln_1,self_attention,ln_2,mlp.0,mlp.3},
+    encoder.ln)."""
+    import collections
+
+    import torch.nn as tnn
+
+    class EncoderLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(dim)
+            self.self_attention = tnn.MultiheadAttention(
+                dim, heads, batch_first=True)
+            self.ln_2 = tnn.LayerNorm(dim)
+            self.mlp = tnn.Sequential(
+                tnn.Linear(dim, dim * 4), tnn.GELU(), tnn.Dropout(0.0),
+                tnn.Linear(dim * 4, dim), tnn.Dropout(0.0))
+
+        def forward(self, x):
+            y = self.ln_1(x)
+            a, _ = self.self_attention(y, y, y, need_weights=False)
+            x = x + a
+            return x + self.mlp(self.ln_2(x))
+
+    class Encoder(tnn.Module):
+        def __init__(self, seq):
+            super().__init__()
+            self.pos_embedding = tnn.Parameter(
+                torch.randn(1, seq, dim) * 0.02)
+            self.layers = tnn.Sequential(collections.OrderedDict(
+                (f"encoder_layer_{i}", EncoderLayer())
+                for i in range(depth)))
+            self.ln = tnn.LayerNorm(dim)
+
+        def forward(self, x):
+            return self.ln(self.layers(x + self.pos_embedding))
+
+    class ViT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_proj = tnn.Conv2d(3, dim, patch, patch)
+            self.class_token = tnn.Parameter(torch.zeros(1, 1, dim))
+            self.encoder = Encoder(1 + (img // patch) ** 2)
+
+        def forward(self, x):
+            B = x.shape[0]
+            x = self.conv_proj(x)                    # (B, dim, h, w)
+            x = x.flatten(2).transpose(1, 2)         # (B, hw, dim)
+            cls = self.class_token.expand(B, -1, -1)
+            x = torch.cat([cls, x], dim=1)
+            return self.encoder(x)[:, 0]             # CLS features
+
+    return ViT()
+
+
+def test_vit_import_matches_torch():
+    """Imported torchvision-format ViT weights reproduce the torch
+    backbone's CLS features (validates the packed-qkv split, head-major
+    DenseGeneral reshapes, patch-embed transpose, pos/cls mapping, and the
+    exact-GELU convention)."""
+    import flax.linen as nn
+
+    from underwater_image_enhancement_tpu.models.zoo import (
+        SIX_PARAM_RANGES,
+        ViTParameterPredictor,
+        load_torch_vit,
+    )
+
+    torch.manual_seed(0)
+    ref = _torch_vit_modules()
+    with torch.no_grad():
+        ref.class_token.normal_(0, 0.5)  # move off zeros to exercise the map
+    ref.eval()
+
+    model = ViTParameterPredictor(patch=8, dim=64, depth=2, heads=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    imported = load_torch_vit(variables, ref.state_dict())
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    class Backbone(nn.Module):
+        @nn.compact
+        def __call__(self, img):  # mirrors ViTParameterPredictor's trunk
+            B = img.shape[0]
+            x = nn.Conv(64, (8, 8), strides=(8, 8))(img)
+            x = x.reshape(B, -1, 64)
+            cls = self.param("cls", nn.initializers.zeros, (1, 1, 64))
+            x = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), x], axis=1)
+            pos = self.param("pos", nn.initializers.zeros, (1, x.shape[1], 64))
+            x = x + pos
+            for _ in range(2):
+                y = nn.LayerNorm()(x)
+                y = nn.MultiHeadDotProductAttention(num_heads=4)(y, y)
+                x = x + y
+                y = nn.LayerNorm()(x)
+                y = nn.Dense(64 * 4)(y)
+                y = nn.gelu(y, approximate=False)
+                y = nn.Dense(64)(y)
+                x = x + y
+            return nn.LayerNorm()(x)[:, 0]
+
+    keep = (["Conv_0", "cls", "pos"]
+            + [f"LayerNorm_{i}" for i in range(5)]
+            + [f"MultiHeadDotProductAttention_{i}" for i in range(2)]
+            + [f"Dense_{i}" for i in range(4)])
+    sub = {"params": {k: imported["params"][k] for k in keep}}
+    got = np.asarray(Backbone().apply(sub, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    # the full predictor still runs with the imported trunk
+    out = model.apply(imported, jnp.asarray(x), train=False)
+    for name, (lo, hi) in SIX_PARAM_RANGES.items():
+        v = np.asarray(out[name])
+        assert np.all(v >= lo) and np.all(v <= hi)
+
+    # wrong-image-size artifact fails fast with a clear message
+    small = ViTParameterPredictor(patch=8, dim=64, depth=2, heads=4)
+    vars16 = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    with pytest.raises(ValueError, match="pos embedding"):
+        load_torch_vit(vars16, ref.state_dict())
+
+
 def test_zoo_trainer_end_to_end(tmp_path):
     """ZooTrainer: 2 epochs on synthetic pairs — loss finite, params move,
     checkpoint round-trips (the trainer wiring the reference lacks)."""
