@@ -172,6 +172,45 @@ def test_lab_unit_kernels_bit_identical(rng):
             rtol=0, atol=1e-7)
 
 
+def test_lab_inverse_gamma_epilogue(rng):
+    """The gamma-folded inverse kernel (six's post-CLAHE gamma as an
+    in-kernel 256-entry LUT): the LUT pow(k/255, g) is applied EXACTLY
+    (gathered bit-for-bit), and the result is within 1 ulp of composing
+    lab_to_rgb_unit_planes + gamma_correction_pow (XLA's pow drifts the
+    last ulp between evaluation shapes, so exact equality to the composed
+    pass is not a stable target).  Plain and vmapped, odd shapes."""
+    import jax
+    from underwater_image_enhancement_tpu.ops import colorspace as cs
+    from underwater_image_enhancement_tpu.ops.stretch import (
+        _U8_GRID, gamma_correction_pow)
+
+    for shape, g in [((70, 100), 1.5), ((64, 128), 1.2), ((33, 57), 1.4)]:
+        lab = tuple(jnp.asarray(x) for x in
+                    rng.integers(0, 256, (3,) + shape).astype(np.int32))
+        unit = cs.lab_to_rgb_unit_planes(*lab, impl="pallas")
+        lut = np.asarray(jnp.power(jnp.asarray(_U8_GRID), jnp.float32(g)))
+        got = cs.lab_to_rgb_unit_gamma_planes(*lab, g, impl="pallas")
+        for gp, up in zip(got, unit):
+            v8 = np.rint(np.asarray(up) * 255.0).astype(np.int64)
+            np.testing.assert_array_equal(np.asarray(gp), lut[v8])
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gamma_correction_pow(up, g)),
+                rtol=0, atol=2.4e-7)
+
+    labb = tuple(jnp.asarray(x) for x in
+                 rng.integers(0, 256, (3, 2, 40, 60)).astype(np.int32))
+    f = jax.vmap(lambda L, a, b: jnp.stack(
+        cs.lab_to_rgb_unit_gamma_planes(L, a, b, 1.3, impl="pallas"), -1))
+    gotb = np.asarray(f(*labb))
+    lut13 = np.asarray(jnp.power(jnp.asarray(_U8_GRID), jnp.float32(1.3)))
+    for bi in range(2):
+        unit_i = cs.lab_to_rgb_unit_planes(*(x[bi] for x in labb),
+                                           impl="pallas")
+        want_i = np.stack([lut13[np.rint(np.asarray(u) * 255.0).astype(
+            np.int64)] for u in unit_i], -1)
+        np.testing.assert_array_equal(gotb[bi], want_i)
+
+
 def test_clahe_lab_fused_bit_identical(rng):
     """Fused CLAHE+inverse-LAB pass == split clahe_u8 + lab_to_rgb,
     single image and vmapped."""

@@ -451,6 +451,30 @@ def lab_to_rgb_unit_planes(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                  for c in lab_to_rgb_u8_exact_planes(L, a, b, impl=impl))
 
 
+def lab_to_rgb_unit_gamma_planes(L: jnp.ndarray, a: jnp.ndarray,
+                                 b: jnp.ndarray, gamma: float,
+                                 impl: str = "auto"):
+    """lab_to_rgb_unit_planes followed by ``out**gamma`` (six_stadigy's
+    post-CLAHE gamma, :221-224) — on TPU the gamma rides the inverse
+    kernel's epilogue as a 256-entry LUT (outputs are on the u8 grid),
+    saving the standalone pass's full-frame HBM roundtrip per leg.
+    Within 1 ulp of composing the two ops (the LUT is applied exactly;
+    XLA's pow drifts the last ulp between evaluation shapes).  The
+    non-TPU path literally composes them."""
+    from underwater_image_enhancement_tpu.ops.stretch import (
+        _U8_GRID, gamma_correction_pow)
+
+    use_pallas = (jax.default_backend() == "tpu" and L.ndim == 2
+                  if impl == "auto" else impl == "pallas")
+    if use_pallas and L.ndim == 2:
+        from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
+
+        glut = jnp.power(jnp.asarray(_U8_GRID), jnp.float32(gamma))
+        return pk.lab_inverse_planes_unit_gamma(L, a, b, glut)
+    return tuple(gamma_correction_pow(c, gamma)
+                 for c in lab_to_rgb_unit_planes(L, a, b, impl=impl))
+
+
 def _ctrunc_div(a: jnp.ndarray, b: int) -> jnp.ndarray:
     """C/C++ integer division (truncates toward zero; ints can be negative).
 

@@ -486,7 +486,8 @@ def clahe_enhancement(img: jnp.ndarray, clip_limit: float = 2.0,
 
 def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
                              tiles_x: int = 8, tiles_y: int = 8,
-                             impl: str = "auto", lab_fast: bool = False):
+                             impl: str = "auto", lab_fast: bool = False,
+                             gamma: float | None = None):
     """Channel-first LAB-L CLAHE roundtrip: (r, g, b) float planes -> same.
     Identical arithmetic to clahe_enhancement (bit-exact vs cv2); avoids
     channel-minor NHWC tensors in composed programs.
@@ -502,7 +503,12 @@ def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
     lab_fast=True routes the forward conversion through the uncorrected
     2-step-Newton CBRT kernel (pallas_kernels.lab_forward_planes_unit_approx:
     L/a/b within +-1 u8 LSB of exact, ~48 dB) — the six --fast tier opts
-    in; its gate is >= 25 dB vs the exact tier."""
+    in; its gate is >= 25 dB vs the exact tier.
+
+    gamma: fold a trailing ``out**gamma`` (six_stadigy's post-CLAHE gamma)
+    into the inverse-LAB epilogue — within 1 ulp of composing
+    stretch.gamma_correction_pow afterwards (exact 256-entry LUT), one
+    fewer full-frame pass on TPU."""
     from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
     if (lab_fast and jax.default_backend() == "tpu"
@@ -516,6 +522,14 @@ def clahe_enhancement_planes(planes, clip_limit: float = 2.0,
     if impl == "fused" and L.ndim == 2:
         rgb = _clahe_lab_fused_cv(float(clip_limit), tiles_x, tiles_y)(
             L, a, b)
-        return tuple(cs.u8_to_unit(c) for c in rgb)
+        out = tuple(cs.u8_to_unit(c) for c in rgb)
+        if gamma is not None:
+            from underwater_image_enhancement_tpu.ops.stretch import (
+                gamma_correction_pow)
+
+            out = tuple(gamma_correction_pow(c, gamma) for c in out)
+        return out
     L = clahe_u8(L, clip_limit, tiles_x, tiles_y)
+    if gamma is not None:
+        return cs.lab_to_rgb_unit_gamma_planes(L, a, b, gamma)
     return cs.lab_to_rgb_unit_planes(L, a, b)

@@ -696,18 +696,26 @@ def _make_ig_lookup(ig_corr, ig=None):
     return lookup
 
 
-def _make_lab_inv_kernel(unit_out: bool, ig_corr=None):
+def _make_lab_inv_kernel(unit_out: bool, ig_corr=None, gamma: bool = False):
     def _lab_inv_kernel(L_ref, a_ref, b_ref, l2yf_ref, *rest):
-        if ig_corr is None:
-            ig_ref, r_ref, g_ref, bb_ref = rest
-            ig = ig_ref[...]   # (8, 128) i32: 4 u8 INV_GAMMA entries/word
-        else:
-            (r_ref, g_ref, bb_ref), ig = rest, None
+        rest = list(rest)
+        ig = rest.pop(0)[...] if ig_corr is None else None  # (8, 128) i32
+        glut = rest.pop(0)[...] if gamma else None  # (2, 128) f32-bit words
+        r_ref, g_ref, bb_ref = rest
         l2yf = l2yf_ref[...]   # (2, 128) i32: y | (ify << 16), both < 2^15
         vals = _lab_inv_body(L_ref[...], a_ref[...], b_ref[...], l2yf,
                              _make_ig_lookup(ig_corr, ig))
         for ref, v8 in zip((r_ref, g_ref, bb_ref), vals):
-            if unit_out:
+            if gamma:
+                # fold the six-strategy post-CLAHE gamma into the kernel
+                # epilogue: outputs live on the u8 grid, so (k/255)**g is a
+                # 256-entry LUT, saving the separate full-frame
+                # read+write+pow pass per leg (within 1 ulp of the
+                # standalone pass — XLA's pow drifts the last ulp between
+                # evaluation shapes; the LUT itself is applied exactly)
+                w = _seg_gather(glut, v8, 2)
+                ref[...] = jax.lax.bitcast_convert_type(w, jnp.float32)
+            elif unit_out:
                 # colorspace.u8_to_unit semantics: f32 DIVISION by 255
                 ref[...] = v8.astype(jnp.float32) / jnp.float32(255.0)
             else:
@@ -814,6 +822,32 @@ def _make_lab_inverse(unit_out: bool):
     return jax.jit(inv)
 
 
+def _make_lab_inverse_gamma():
+    @jax.custom_batching.custom_vmap
+    def inv(L, a, b, glut):
+        corr = _corrections("inv_gamma")
+        packed = jax.lax.bitcast_convert_type(
+            glut.astype(jnp.float32), jnp.int32).reshape(2, 128)
+        return _lab_plane_call(
+            _make_lab_inv_kernel(True, corr, gamma=True), (L, a, b),
+            _lab_inv_tables(with_ig=corr is None) + (packed,),
+            jnp.int32, jnp.float32)
+
+    def rule(axis_size, in_batched, L, a, b, glut):
+        if in_batched[3]:
+            raise ValueError("gamma LUT cannot carry a batch axis")
+        args = tuple(
+            x if bt else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            for x, bt in zip((L, a, b), in_batched[:3]))
+        shp = args[0].shape
+        flat = tuple(x.reshape(-1, shp[-1]) for x in args)
+        outs = inv(*flat, glut)
+        return tuple(o.reshape(shp) for o in outs), (True,) * 3
+
+    inv.def_vmap(rule)
+    return jax.jit(inv)
+
+
 def _pointwise_flatten_vmap(fn):
     """custom_vmap rule for a pointwise (plane -> plane) kernel: fold the
     batch dim into rows, run the 2-D kernel once, unfold.  Exact for
@@ -892,3 +926,13 @@ lab_inverse_planes_unit.__doc__ = (
     happens IN-KERNEL.  u8 values identical to lab_inverse_planes; the
     /255 conversion may differ 1 ulp from a jitted XLA division (which is
     itself a reciprocal-multiply 1 ulp off IEEE on 126/256 values).""")
+
+lab_inverse_planes_unit_gamma = _make_lab_inverse_gamma()
+lab_inverse_planes_unit_gamma.__doc__ = (
+    """lab_to_rgb + unit conversion + gamma**g, fused: glut is the (256,)
+    f32 table pow(k/255, g) (k/255 by true f32 division — stretch._U8_GRID),
+    gathered exactly in-kernel, skipping the standalone gamma pass's
+    full-frame HBM roundtrip.  Within 1 ulp of lab_inverse_planes_unit ->
+    gamma_correction_pow (XLA's pow drifts the last ulp between evaluation
+    shapes).  The six strategies with a post-CLAHE gamma
+    (six_stadigy.py:239,277,285) ride this epilogue.""")

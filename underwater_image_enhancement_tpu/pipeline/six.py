@@ -77,8 +77,10 @@ def _strategy1_strong_dehazing(img: jnp.ndarray, method: str, A=None) -> jnp.nda
     def one(im):
         rec = _restore(_split(im), 0.3, 20, 5e-1, method, A)
         e = stretch.enhance_contrast_planes(rec, 5.0, 98.0, method=method)
-        e = histeq.clahe_enhancement_planes(e, 3.0, lab_fast=_fast(method))
-        return jnp.stack(_gamma_pow(e, 1.5), axis=-1)
+        # gamma rides the inverse-LAB kernel epilogue (exact 256-LUT)
+        e = histeq.clahe_enhancement_planes(e, 3.0, lab_fast=_fast(method),
+                                            gamma=1.5)
+        return jnp.stack(e, axis=-1)
 
     return _per_image(one, img)
 
@@ -124,8 +126,9 @@ def _strategy5_white_balance(img: jnp.ndarray, method: str) -> jnp.ndarray:
     def one(im):
         e = stretch.white_balance_planes(_split(im), 2.0, method=method)
         e = stretch.enhance_contrast_planes(e, 15.0, 90.0, method=method)
-        e = histeq.clahe_enhancement_planes(e, 1.5, lab_fast=_fast(method))
-        return jnp.stack(_gamma_pow(e, 1.2), axis=-1)
+        e = histeq.clahe_enhancement_planes(e, 1.5, lab_fast=_fast(method),
+                                            gamma=1.2)
+        return jnp.stack(e, axis=-1)
 
     return _per_image(one, img)
 
@@ -134,8 +137,9 @@ def _strategy6_histogram_eq(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """six_stadigy.py:279-285: stretch 5-98 -> CLAHE 3.5 -> gamma**1.4."""
     def one(im):
         e = stretch.enhance_contrast_planes(_split(im), 5.0, 98.0, method=method)
-        e = histeq.clahe_enhancement_planes(e, 3.5, lab_fast=_fast(method))
-        return jnp.stack(_gamma_pow(e, 1.4), axis=-1)
+        e = histeq.clahe_enhancement_planes(e, 3.5, lab_fast=_fast(method),
+                                            gamma=1.4)
+        return jnp.stack(e, axis=-1)
 
     return _per_image(one, img)
 
