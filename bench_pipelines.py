@@ -103,11 +103,13 @@ def bench_enhance(h, w, rtt, n=8, k=8, reps=5):
     return _timed(run, frames, reps, rtt) / (n * k)
 
 
-def bench_six(h, w, rtt, batch=1, k=4, reps=5):
+def bench_six(h, w, rtt, batch=1, k=4, reps=5, fast=True):
     """Honest harness: ALL SIX outputs are the fori_loop carry, so every
     iteration must fully materialize each strategy's full-resolution frame
     (feeding back only one output would let XLA skip the non-probed pixels
-    of the other five)."""
+    of the other five).  fast=False benches the EXACT parity tier
+    (per-block-Canny quadtree airlight + exact radix percentiles +
+    exact-gather LAB)."""
     k = _scale_k(k, h, w)
     import jax
     import jax.numpy as jnp
@@ -119,7 +121,7 @@ def bench_six(h, w, rtt, batch=1, k=4, reps=5):
     frames = _make_frames(batch, h, w)
 
     def one(im):
-        outs, code = six_strategy_tuple(im, fast=True)
+        outs, code = six_strategy_tuple(im, fast=fast)
         return outs
 
     @jax.jit
@@ -175,13 +177,16 @@ def main():
 
     rtt = _rtt()
     runners = {"enhance": bench_enhance, "six": bench_six,
-               "label": bench_label}
+               "six-exact": bench_six, "label": bench_label}
     for size in args.sizes.split(","):
         h, w = SIZES[size]
         for wl in args.workloads.split(","):
             kw = {}
             if wl == "six":
                 kw["batch"] = args.six_batch
+            elif wl == "six-exact":
+                kw["batch"] = args.six_batch
+                kw["fast"] = False
             per_frame = runners[wl](h, w, rtt, **kw)
             print(json.dumps({
                 "metric": f"{wl}_{size}",
