@@ -165,6 +165,31 @@ def test_vgg_trainer_step_runs(tiny_dataset, tmp_path):
     assert moved > 0  # conv9 (conv4_3) is trainable
 
 
+def test_vgg_trainer_bf16_default(tiny_dataset):
+    """bf16 compute is the default AMP analog (vgg_16_UIE.py:504): params
+    and loss stay float32, one epoch trains finite, and the fp32 opt-out
+    still builds."""
+    import jax
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, _ = ds.split(0.75)
+    trainer = VGGTrainer(hidden_dim=16, image_size=32, lr=1e-3, epochs=4)
+    assert trainer.compute_dtype == jnp.bfloat16
+    assert trainer.model.dtype == jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(trainer.params):
+        assert leaf.dtype == jnp.float32  # params are NOT down-cast
+    loss = trainer.run_epoch(ds.batches(tr, 2), train=True)
+    assert np.isfinite(loss)
+
+    fp32 = VGGTrainer(hidden_dim=16, image_size=32, epochs=4,
+                      compute_dtype="float32")
+    assert fp32.compute_dtype == jnp.float32
+
+
 def test_vgg_lr_schedule_anneals():
     """The cosine-warm-restarts LR actually reaches the jitted step: the
     first-step update magnitude at simulated epoch 9 shrinks by the schedule

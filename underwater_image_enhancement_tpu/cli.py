@@ -374,7 +374,7 @@ def _cmd_train_vgg(args) -> None:
     tr_idx, va_idx = ds.split(0.85)
     pv = None if args.pretrained_vgg == "none" else args.pretrained_vgg
     trainer = VGGTrainer(epochs=args.epochs,
-                         compute_dtype="bfloat16" if args.bf16 else "float32",
+                         compute_dtype="float32" if args.fp32 else "bfloat16",
                          pretrained_vgg=pv)
     if args.resume:
         trainer.load(args.resume)
@@ -478,7 +478,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="./output")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (AMP analog)")
+    p.add_argument("--fp32", action="store_true",
+                   help="full-f32 compute (default is bfloat16 — the AMP "
+                        "analog the reference trains under)")
     p.add_argument("--resume", default=None)
     p.add_argument("--pretrained-vgg", default="auto",
                    help=".npz from convert-vgg: ImageNet VGG16 backbone + "

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 from underwater_image_enhancement_tpu.models.vgg import VGGFeatures
 
 _PERCEPTUAL_TRUNK = VGGFeatures(depth=7)
+# bf16-compute twin for the AMP analog (same params; dtype only affects
+# the activation/compute width — vgg_16_UIE.py:504 autocasts the
+# perceptual VGG alongside the backbone)
+_PERCEPTUAL_TRUNK_BF16 = VGGFeatures(depth=7, dtype=jnp.bfloat16)
 
 
 def init_perceptual_params(rng, image_shape=(1, 224, 224, 3)):
@@ -34,18 +38,21 @@ def reference_loss(enhanced: jnp.ndarray, reference: jnp.ndarray,
     return l1_weight * l1 + l2_weight * l2, {"l1": l1, "l2": l2}
 
 
-def perceptual_loss(vgg_params, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    fp = _PERCEPTUAL_TRUNK.apply(vgg_params, pred)
-    ft = _PERCEPTUAL_TRUNK.apply(vgg_params, target)
-    return jnp.mean((fp - ft) ** 2)
+def perceptual_loss(vgg_params, pred: jnp.ndarray, target: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    trunk = _PERCEPTUAL_TRUNK_BF16 if dtype == jnp.bfloat16 else _PERCEPTUAL_TRUNK
+    fp = trunk.apply(vgg_params, pred)
+    ft = trunk.apply(vgg_params, target)
+    # the feature MSE reduces in f32 regardless of the trunk compute dtype
+    return jnp.mean((fp.astype(jnp.float32) - ft.astype(jnp.float32)) ** 2)
 
 
 def combined_loss(vgg_params, enhanced: jnp.ndarray, reference: jnp.ndarray,
                   l1_weight: float = 0.3, l2_weight: float = 0.5,
-                  perceptual_weight: float = 0.2
+                  perceptual_weight: float = 0.2, dtype=jnp.float32
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     l1 = jnp.mean(jnp.abs(enhanced - reference))
     l2 = jnp.mean((enhanced - reference) ** 2)
-    perc = perceptual_loss(vgg_params, enhanced, reference)
+    perc = perceptual_loss(vgg_params, enhanced, reference, dtype=dtype)
     total = l1_weight * l1 + l2_weight * l2 + perceptual_weight * perc
     return total, {"l1": l1, "l2": l2, "perceptual": perc}

@@ -41,20 +41,27 @@ PARAM_RANGES = {
 class VGGFeatures(nn.Module):
     """VGG16 conv stack (NHWC).  depth = number of conv layers:
     depth=10 -> conv4_3 (torchvision features[:23]);
-    depth=7  -> relu3_3 (features[:16], the perceptual-loss trunk)."""
+    depth=7  -> relu3_3 (features[:16], the perceptual-loss trunk).
+
+    dtype: compute dtype (params stay float32) — ``jnp.bfloat16`` is the
+    TPU analog of the reference's AMP autocast (vgg_16_UIE.py:504) and
+    keeps the convs on the MXU's native input width."""
 
     depth: int = 10
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv_i = 0
+        x = x.astype(self.dtype)
         for item in VGG_PLAN:
             if conv_i >= self.depth:
                 break
             if item == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
-            x = nn.Conv(item, (3, 3), padding=1, name=f"conv{conv_i}")(x)
+            x = nn.Conv(item, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"conv{conv_i}")(x)
             x = nn.relu(x)
             conv_i += 1
         return x
@@ -63,12 +70,13 @@ class VGGFeatures(nn.Module):
 class ImprovedVGGParameterNet(nn.Module):
     hidden_dim: int = 256
     use_features: bool = True
+    dtype: object = jnp.float32  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, img, feats: Optional[jnp.ndarray] = None, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         B = img.shape[0]
-        v = VGGFeatures(depth=10, name="vgg")(img)
+        v = VGGFeatures(depth=10, dtype=self.dtype, name="vgg")(img)
         avg_feat = jnp.mean(v, axis=(1, 2))
         max_feat = jnp.mean(v, axis=(1, 2))  # reference bug reproduced (:158)
         x = jnp.concatenate([avg_feat, max_feat], axis=1)
@@ -76,27 +84,31 @@ class ImprovedVGGParameterNet(nn.Module):
             x = jnp.concatenate([x, feats.astype(x.dtype)], axis=1)
 
         h2 = self.hidden_dim * 2
-        x = nn.Dense(h2)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Dense(h2, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.4, deterministic=not train)(x)
-        x = nn.Dense(self.hidden_dim)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)
 
-        att = nn.Dense(self.hidden_dim // 4)(x)
+        att = nn.Dense(self.hidden_dim // 4, dtype=self.dtype)(x)
         att = nn.relu(att)
-        att = nn.sigmoid(nn.Dense(self.hidden_dim)(att))
+        att = nn.sigmoid(nn.Dense(self.hidden_dim, dtype=self.dtype)(att))
         x = x * att
 
         params = {}
         for name, (lo, hi) in PARAM_RANGES.items():
-            h = nn.Dense(self.hidden_dim // 2, name=f"head_{name}_0")(x)
+            h = nn.Dense(self.hidden_dim // 2, dtype=self.dtype,
+                         name=f"head_{name}_0")(x)
             h = nn.relu(h)
             h = nn.Dropout(0.2, deterministic=not train)(h)
-            raw = nn.Dense(1, name=f"head_{name}_1")(h)
-            params[name] = nn.sigmoid(raw) * (hi - lo) + lo
+            raw = nn.Dense(1, dtype=self.dtype, name=f"head_{name}_1")(h)
+            # heads resolve in f32: the sigmoid ranges span ~1e1 and bf16's
+            # ~3 decimal digits would quantize the predicted parameters
+            params[name] = (nn.sigmoid(raw.astype(jnp.float32))
+                            * (hi - lo) + lo)
         return params
 
 

@@ -422,11 +422,17 @@ class VGGTrainer(_BaseTrainer):
     def __init__(self, hidden_dim: int = 256, lr: float = 1e-5,
                  weight_decay: float = 1e-5, epochs: int = 100,
                  image_size: int = 224, seed: int = 0, mesh=None,
-                 compute_dtype: str = "float32",
+                 compute_dtype: str = "bfloat16",
                  stretch_mode: str = "quantile",
                  vgg_loss_params=None, pretrained_vgg: str | None = "auto"):
         super().__init__()
-        self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim)
+        # bf16 compute by default — the AMP-autocast analog the reference
+        # trains under (vgg_16_UIE.py:504 GradScaler); params, the loss,
+        # and the enhancement pipeline stay float32
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                              else jnp.float32)
+        self.model = ImprovedVGGParameterNet(hidden_dim=hidden_dim,
+                                             dtype=self.compute_dtype)
         rng = jax.random.PRNGKey(seed)
         img0 = jnp.zeros((1, image_size, image_size, 3))
         feats0 = jnp.zeros((1, 79))
@@ -505,7 +511,6 @@ class VGGTrainer(_BaseTrainer):
         )
         self.opt_state = self.tx.init(self.params)
         self.mesh = maybe_mesh(mesh)
-        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._stretch_mode = stretch_mode
         self._rng = rng
         self._step = self._make_step()
@@ -528,7 +533,8 @@ class VGGTrainer(_BaseTrainer):
         pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
         enhanced = diff_enhance.enhance_vgg(imgs, pred,
                                             stretch_mode=self._stretch_mode)
-        total, comps = losses.combined_loss(self.vgg_loss_params, enhanced, refs)
+        total, comps = losses.combined_loss(self.vgg_loss_params, enhanced,
+                                            refs, dtype=self.compute_dtype)
         return total, (comps, new_stats)
 
     def _set_lr(self, opt_state, lr):
