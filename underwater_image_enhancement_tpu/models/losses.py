@@ -40,7 +40,12 @@ def reference_loss(enhanced: jnp.ndarray, reference: jnp.ndarray,
 
 def perceptual_loss(vgg_params, pred: jnp.ndarray, target: jnp.ndarray,
                     dtype=jnp.float32) -> jnp.ndarray:
-    trunk = _PERCEPTUAL_TRUNK_BF16 if dtype == jnp.bfloat16 else _PERCEPTUAL_TRUNK
+    # normalize dtype spellings ("bfloat16", np.dtype, jnp.bfloat16) so a
+    # caller following VGGTrainer's string convention still gets bf16
+    import numpy as np
+
+    bf16 = np.dtype(dtype) == np.dtype(jnp.bfloat16)
+    trunk = _PERCEPTUAL_TRUNK_BF16 if bf16 else _PERCEPTUAL_TRUNK
     fp = trunk.apply(vgg_params, pred)
     ft = trunk.apply(vgg_params, target)
     # the feature MSE reduces in f32 regardless of the trunk compute dtype

@@ -365,6 +365,14 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
             return tuple(o.reshape(shp)
                          for o in pk.lab_forward_planes(*flat))
         # vmap trace with extra explicit dims: fall through to XLA
+    return _lab_fwd_xla(r, g, b_, l_only=False)
+
+
+def _lab_fwd_xla(r, g, b_, l_only: bool):
+    """Shared XLA fixed-point RGB2LAB forward (OpenCV's integer pipeline).
+    l_only skips fX/fZ and the a/b math — the brightness-metric tier —
+    while keeping ONE copy of the bit-exactness-critical rounding/descale
+    arithmetic for both entry points."""
     from underwater_image_enhancement_tpu.ops import lab_tables as lt
 
     R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
@@ -379,14 +387,16 @@ def rgb_to_lab_u8_exact_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,
         acc = R * int(C[row, 0]) + G * int(C[row, 1]) + B * int(C[row, 2])
         return jnp.clip(descale(acc, lt.LAB_SHIFT), 0, lt.NCBRT - 1)
 
-    fX = _corrected_lookup(idx(0), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
+    clip = lambda v: jnp.clip(v, 0, 255)
     fY = _corrected_lookup(idx(1), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
+    L = clip(descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2))
+    if l_only:
+        return L
+    fX = _corrected_lookup(idx(0), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
     fZ = _corrected_lookup(idx(2), lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
-    L = descale(lt.L_SCALE * fY + lt.L_SHIFT, lt.LAB_SHIFT2)
     a = descale(500 * (fX - fY) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
     b = descale(200 * (fY - fZ) + 128 * (1 << lt.LAB_SHIFT2), lt.LAB_SHIFT2)
-    clip = lambda v: jnp.clip(v, 0, 255)
-    return clip(L), clip(a), clip(b)
+    return L, clip(a), clip(b)
 
 
 def rgb_to_lab_l_u8_exact(rgb_u8: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
@@ -409,18 +419,7 @@ def rgb_to_lab_l_u8_exact(rgb_u8: jnp.ndarray, impl: str = "auto") -> jnp.ndarra
             flat = tuple(x.reshape(-1, shp[-1]) for x in (r, g, b_))
             return pk.lab_forward_l_plane(*flat).reshape(shp)
         # vmap trace with extra explicit dims: fall through to XLA
-    from underwater_image_enhancement_tpu.ops import lab_tables as lt
-
-    R = _corrected_lookup(r.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
-    G = _corrected_lookup(g.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
-    B = _corrected_lookup(b_.astype(jnp.int32), lt.GAMMA_TAB, _g_gamma_tab, "gamma")
-    C = lt.COEFFS
-    acc = R * int(C[1, 0]) + G * int(C[1, 1]) + B * int(C[1, 2])
-    idx = jnp.clip((acc + (1 << (lt.LAB_SHIFT - 1))) >> lt.LAB_SHIFT,
-                   0, lt.NCBRT - 1)
-    fY = _corrected_lookup(idx, lt.CBRT_TAB, _g_cbrt_tab, "cbrt")
-    L = (lt.L_SCALE * fY + lt.L_SHIFT + (1 << (lt.LAB_SHIFT2 - 1))) >> lt.LAB_SHIFT2
-    return jnp.clip(L, 0, 255)
+    return _lab_fwd_xla(r, g, b_, l_only=True)
 
 
 def rgb_unit_to_lab_planes(r: jnp.ndarray, g: jnp.ndarray, b_: jnp.ndarray,

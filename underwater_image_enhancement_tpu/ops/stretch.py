@@ -242,8 +242,9 @@ def percentiles_radix_planes(planes, pcts):
     float32 channels (every caller's input in this repo is clipped to
     [0, 1] upstream: dehaze.recover_planes, CLAHE, hist-eq, u8 gray).
 
-    planes: same-shape channels (selected jointly — every channel and
-    percentile shares each radix level's single histogram call).  pcts:
+    planes: same-shape channels, selected jointly — per radix level each
+    CHANNEL issues one slotted histogram dot (_hist_slots) that serves
+    all of that channel's ranks in one fused read of its keys.  pcts:
     static sequence of percentiles.  Only the FLOOR order statistic of
     each percentile goes through the radix select; the ceil statistic
     s[i+1] comes from one fused compare/min pass over the keys:
