@@ -168,7 +168,12 @@ def test_vgg_trainer_dp_grads_agree_with_single(mesh8, rng):
     imgs = rng.random((8, 32, 32, 3)).astype(np.float32)
     refs = rng.random((8, 32, 32, 3)).astype(np.float32)
 
-    t = VGGTrainer(hidden_dim=16, lr=1e-3, mesh=mesh8, image_size=32)
+    # f32 compute: this test gates the DP *sharding* mechanics, and the
+    # tight grad tolerance assumes f32; the bf16 default (AMP analog)
+    # rounds activations per-shard, which is expected dtype noise, not a
+    # DP bug (bf16 end-to-end is covered by the run_epoch check below).
+    t = VGGTrainer(hidden_dim=16, lr=1e-3, mesh=mesh8, image_size=32,
+                   compute_dtype="float32")
 
     @jax.jit
     def loss_and_grads(params, im, ft, rf):
