@@ -40,51 +40,68 @@ METRIC_NAMES = (
 from underwater_image_enhancement_tpu.ops.histeq import shannon_entropy_u8 as _entropy_u8
 
 
-def assess_all(img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """All 8 metric scores for one (H, W, 3) image in [0,1]."""
+def assess_all(img: jnp.ndarray,
+               needed: frozenset | None = None) -> Dict[str, jnp.ndarray]:
+    """Metric scores for one (H, W, 3) image in [0,1].
+
+    needed=None computes all 8; otherwise only the named metrics (and
+    only the colorspace transforms they read) are traced — zero-weight
+    metrics in config.py's 6-weight dict cost full-frame reductions the
+    weighted total then multiplies by 0, so the totals-only callers skip
+    them at trace time (bit-identical totals: each metric is finite, so
+    the dropped terms are exact zeros)."""
+    k = METRIC_NAMES if needed is None else needed
     u8 = cs.quantize_u8(img)
     gray_u8 = cs.rgb_to_gray_u8(u8)
     gray = cs.u8_to_unit(gray_u8)
-    hsv = cs.rgb_to_hsv_u8(u8)
-    # L-only tier: brightness reads only mean L — one CBRT lookup and one
-    # output plane instead of three (bit-identical to the full conversion)
-    lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
 
     scores = {}
     # contrast (:25-33)
-    scores["contrast"] = jnp.clip(jnp.std(gray) / 0.5 * 100.0, 0.0, 100.0)
+    if "contrast" in k:
+        scores["contrast"] = jnp.clip(jnp.std(gray) / 0.5 * 100.0, 0.0, 100.0)
     # sharpness (:46-55) — cv2.Laplacian default ksize=1
-    lap = laplacian(gray, ksize=1)
-    scores["sharpness"] = jnp.clip(jnp.var(lap) / 0.5 * 100.0, 0.0, 100.0)
+    if "sharpness" in k:
+        lap = laplacian(gray, ksize=1)
+        scores["sharpness"] = jnp.clip(jnp.var(lap) / 0.5 * 100.0, 0.0, 100.0)
     # entropy (:68-75)
-    ent = _entropy_u8(gray_u8)
-    scores["entropy"] = jnp.clip((ent - 4.0) / 4.0 * 100.0, 0.0, 100.0)
+    if "entropy" in k:
+        ent = _entropy_u8(gray_u8)
+        scores["entropy"] = jnp.clip((ent - 4.0) / 4.0 * 100.0, 0.0, 100.0)
+    if "saturation" in k or "naturalness" in k:
+        hsv = cs.rgb_to_hsv_u8(u8)
+        sat = hsv[..., 1].astype(jnp.float32) / 255.0
     # saturation (:88-97)
-    sat = hsv[..., 1].astype(jnp.float32) / 255.0
-    scores["saturation"] = jnp.clip(jnp.mean(sat) * 100.0, 0.0, 100.0)
-    # brightness (:111-123)
-    dev = jnp.abs(jnp.mean(lab_l) - 128.0)
-    scores["brightness"] = 100.0 - jnp.clip(dev / 128.0 * 100.0, 0.0, 100.0)
+    if "saturation" in k:
+        scores["saturation"] = jnp.clip(jnp.mean(sat) * 100.0, 0.0, 100.0)
+    # brightness (:111-123) — L-only tier: one CBRT lookup and one output
+    # plane instead of three (bit-identical to the full conversion)
+    if "brightness" in k:
+        lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
+        dev = jnp.abs(jnp.mean(lab_l) - 128.0)
+        scores["brightness"] = 100.0 - jnp.clip(dev / 128.0 * 100.0, 0.0, 100.0)
     # edge density (:136-147)
-    edges = canny_u8(gray_u8, 50, 150)
-    scores["edge_density"] = jnp.clip(
-        jnp.mean(edges.astype(jnp.float32)) / 0.2 * 100.0, 0.0, 100.0
-    )
+    if "edge_density" in k:
+        edges = canny_u8(gray_u8, 50, 150)
+        scores["edge_density"] = jnp.clip(
+            jnp.mean(edges.astype(jnp.float32)) / 0.2 * 100.0, 0.0, 100.0
+        )
     # colorfulness (:160-184) — on the FLOAT image, like the reference
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    rg = r - g
-    yb = 0.5 * (r + g) - b
-    std_rgyb = jnp.sqrt(jnp.std(rg) ** 2 + jnp.std(yb) ** 2)
-    mean_rgyb = jnp.sqrt(jnp.mean(rg) ** 2 + jnp.mean(yb) ** 2)
-    scores["colorfulness"] = jnp.clip(
-        (std_rgyb + 0.3 * mean_rgyb) / 0.5 * 100.0, 0.0, 100.0
-    )
+    if "colorfulness" in k:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        rg = r - g
+        yb = 0.5 * (r + g) - b
+        std_rgyb = jnp.sqrt(jnp.std(rg) ** 2 + jnp.std(yb) ** 2)
+        mean_rgyb = jnp.sqrt(jnp.mean(rg) ** 2 + jnp.mean(yb) ** 2)
+        scores["colorfulness"] = jnp.clip(
+            (std_rgyb + 0.3 * mean_rgyb) / 0.5 * 100.0, 0.0, 100.0
+        )
     # naturalness (:198-212)
-    over_sat = jnp.mean((sat > 0.9).astype(jnp.float32))
-    too_dark = jnp.mean((gray < 0.1).astype(jnp.float32))
-    too_bright = jnp.mean((gray > 0.9).astype(jnp.float32))
-    unnatural = over_sat + too_dark + too_bright
-    scores["naturalness"] = 100.0 - jnp.clip(unnatural * 200.0, 0.0, 100.0)
+    if "naturalness" in k:
+        over_sat = jnp.mean((sat > 0.9).astype(jnp.float32))
+        too_dark = jnp.mean((gray < 0.1).astype(jnp.float32))
+        too_bright = jnp.mean((gray > 0.9).astype(jnp.float32))
+        unnatural = over_sat + too_dark + too_bright
+        scores["naturalness"] = 100.0 - jnp.clip(unnatural * 200.0, 0.0, 100.0)
     return scores
 
 
@@ -121,5 +138,15 @@ def comprehensive_batch(imgs: jnp.ndarray,
     from underwater_image_enhancement_tpu.utils.config import FULL_QUALITY_WEIGHTS
 
     w = FULL_QUALITY_WEIGHTS if weights is None else weights
-    wv = jnp.asarray([w.get(k, 0) for k in METRIC_NAMES], jnp.float32)
-    return assess_batch(imgs) @ wv
+    needed = frozenset(k for k in METRIC_NAMES if w.get(k, 0) != 0)
+
+    def total_one(img):
+        s = assess_all(img, needed=needed)
+        # left-to-right in METRIC_NAMES order; dropped terms are exact 0s
+        total = jnp.float32(0.0)
+        for k in METRIC_NAMES:
+            if k in needed:
+                total = total + s[k] * jnp.float32(w[k])
+        return total
+
+    return jax.vmap(total_one)(imgs)
