@@ -141,7 +141,10 @@ def bench_six(h, w, rtt, batch=1, k=4, reps=5, fast=True):
     return _timed(run, frames, reps, rtt) / (batch * (k + 1))
 
 
-def bench_label(h, w, rtt, batch=4, k=2, reps=5):
+def bench_label(h, w, rtt, batch=4, k=2, reps=5, fast=False):
+    """fast=True benches the throughput labeling tier (cli build-dataset
+    --fast: canonical airlight descent, fast guided filter, histogram
+    percentiles); the default is the exact parity tier."""
     if (h, w) == SIZES["vga"]:
         k = 8  # full-area scaling would overshoot: label is ~30 ms/frame
     import jax
@@ -159,7 +162,7 @@ def bench_label(h, w, rtt, batch=4, k=2, reps=5):
     def run(frames):
         def body(i, x):
             feats, scores, best, winners = _label_batch(
-                x, weights, return_all=False)
+                x, weights, return_all=False, fast=fast)
             return _requantize(winners + 1e-9 * jnp.mean(feats))
 
         x = jax.lax.fori_loop(0, k, body, frames)
@@ -177,7 +180,8 @@ def main():
 
     rtt = _rtt()
     runners = {"enhance": bench_enhance, "six": bench_six,
-               "six-exact": bench_six, "label": bench_label}
+               "six-exact": bench_six, "label": bench_label,
+               "label-fast": bench_label}
     for size in args.sizes.split(","):
         h, w = SIZES[size]
         for wl in args.workloads.split(","):
@@ -187,6 +191,8 @@ def main():
             elif wl == "six-exact":
                 kw["batch"] = args.six_batch
                 kw["fast"] = False
+            elif wl == "label-fast":
+                kw["fast"] = True
             per_frame = runners[wl](h, w, rtt, **kw)
             print(json.dumps({
                 "metric": f"{wl}_{size}",

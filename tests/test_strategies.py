@@ -101,3 +101,46 @@ def test_six_fast_mode_close_to_exact(underwater_img):
         mse = ((exact - fast) ** 2).mean()
         psnr = 10 * np.log10(1.0 / max(mse, 1e-30))
         assert psnr > 25, (name, psnr)
+
+
+def test_config_fast_tier_close_to_exact(underwater_img):
+    """The Phase-1 throughput tier (STRATEGY_FNS_FAST: global-edge quadtree
+    descent, fast guided filter, histogram percentiles, arithmetic LAB)
+    must stay visually equivalent to the exact labeling strategies —
+    >= 25 dB each, the same bar as the six fast tier."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(underwater_img)
+    for name in strategies.STRATEGY_FNS:
+        exact = np.asarray(strategies.STRATEGY_FNS[name](img))
+        fast = np.asarray(strategies.STRATEGY_FNS_FAST[name](img))
+        mse = ((exact - fast) ** 2).mean()
+        p = 10 * np.log10(1.0 / max(mse, 1e-30))
+        assert p > 25, (name, p)
+
+
+def test_fast_label_winner_agrees_or_near_tie(underwater_img, rng):
+    """fast=True labeling must pick the same winner as the exact tier, or a
+    near-tie: the exact-tier score gap between the exact winner and the
+    fast-picked strategy stays < 1.0 (scores are 0-100)."""
+    from underwater_image_enhancement_tpu.select.system import _label_batch
+    from underwater_image_enhancement_tpu.utils.config import (
+        DEFAULT_QUALITY_WEIGHTS,
+    )
+
+    imgs = np.stack([
+        underwater_img,
+        underwater_img[::-1],
+        np.clip(underwater_img * 0.5, 0, 1),
+        (np.floor(np.clip(
+            underwater_img + rng.normal(0, 0.05, underwater_img.shape), 0, 1,
+        ).astype(np.float32) * 255) / 255).astype(np.float32),
+    ])
+    weights = tuple(sorted(DEFAULT_QUALITY_WEIGHTS.items()))
+    _, scores_e, best_e, _ = _label_batch(imgs, weights, return_all=False)
+    _, _, best_f, _ = _label_batch(imgs, weights, return_all=False, fast=True)
+    scores_e, best_e, best_f = map(np.asarray, (scores_e, best_e, best_f))
+    for i in range(len(imgs)):
+        if best_e[i] != best_f[i]:
+            gap = scores_e[i, best_e[i]] - scores_e[i, best_f[i]]
+            assert gap < 1.0, (i, gap, scores_e[i])

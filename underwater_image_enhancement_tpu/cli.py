@@ -209,7 +209,8 @@ def _cmd_build_dataset(args) -> None:
     from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
     from underwater_image_enhancement_tpu.utils.config import Config
 
-    cfg = Config(image_folder=args.input, output_folder=args.output)
+    cfg = Config(image_folder=args.input, output_folder=args.output,
+                 fast_label=bool(getattr(args, "fast", False)))
     sys_ = SelfSupervisedSystem(cfg)
     rows = sys_.build_dataset()
     print(f"labeled {len(rows)} images")
@@ -324,7 +325,8 @@ def _cmd_run(args) -> None:
     from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
     from underwater_image_enhancement_tpu.utils.config import Config
 
-    cfg = Config(image_folder=args.input, output_folder=args.output)
+    cfg = Config(image_folder=args.input, output_folder=args.output,
+                 fast_label=bool(getattr(args, "fast", False)))
     sys_ = SelfSupervisedSystem(cfg)
     rows = sys_.build_dataset()
     if not rows:
@@ -456,6 +458,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("build-dataset", help="Phase 1 self-supervised labeling")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="throughput-tier strategies (canonical airlight "
+                        "descent, fast guided filter, histogram "
+                        "percentiles); near-tie winners may flip")
     p.set_defaults(fn=_cmd_build_dataset)
 
     p = sub.add_parser("train-selector", help="Phase 2 classifier training")
@@ -510,6 +516,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("run", help="Phase 1 + Phase 2 in one command")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="throughput-tier Phase-1 labeling (see build-dataset)")
     p.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("convert-vgg",

@@ -94,8 +94,12 @@ def estimate_transmission_six_planes(planes, A, omega, r: int, eps: float,
     return jnp.clip(t_refined, 0.1, 1.0)
 
 
-def estimate_transmission_planes(planes, A, omega, r: int, eps: float):
-    """Channel-first enhancement_strategies.py:208-234 (single final clip)."""
+def estimate_transmission_planes(planes, A, omega, r: int, eps: float,
+                                 guided_subsample: int = 1):
+    """Channel-first enhancement_strategies.py:208-234 (single final clip).
+
+    guided_subsample > 1 refines with the Fast Guided Filter — the
+    throughput tier's approximation (parity callers keep 1)."""
     from underwater_image_enhancement_tpu.ops.colorspace import (
         gray_u8_planes,
         quantize_u8,
@@ -108,7 +112,13 @@ def estimate_transmission_planes(planes, A, omega, r: int, eps: float):
     )
     t_initial = 1.0 - omega * dark
     gray = u8_to_unit(gray_u8_planes(*(quantize_u8(p) for p in planes)))
-    t_refined = guided_filter(gray, t_initial, r, eps)
+    if guided_subsample > 1:
+        from underwater_image_enhancement_tpu.ops.guided import guided_filter_fast
+
+        t_refined = guided_filter_fast(gray, t_initial, r, eps,
+                                       guided_subsample)
+    else:
+        t_refined = guided_filter(gray, t_initial, r, eps)
     return jnp.clip(t_refined, 0.1, 1.0)
 
 

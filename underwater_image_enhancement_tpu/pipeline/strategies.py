@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 from underwater_image_enhancement_tpu.ops.layout import split_planes as _split
 from underwater_image_enhancement_tpu.ops import dehaze, histeq, stretch
-from underwater_image_enhancement_tpu.ops.airlight import quadtree_airlight_exact_planes
+from underwater_image_enhancement_tpu.ops.airlight import (
+    quadtree_airlight_exact_planes,
+    quadtree_airlight_planes,
+)
 from underwater_image_enhancement_tpu.utils.config import DEFAULT_STRATEGIES
 
 
@@ -35,88 +38,124 @@ def _per_image(fn, img):
 
 
 def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
-                         apply_gamma, gamma):
+                         apply_gamma, gamma, method="radix"):
     """The shared skeleton of strong/medium/light strategies
     (enhancement_strategies.py:349-444): quadtree A -> transmission ->
     recover -> percentile stretch -> optional gamma img**(1/g).
 
-    The airlight descent reruns Canny per block crop exactly like the
-    reference's compute_Q (enhancement_strategies.py:180-183) — these
-    strategies label the Phase-1 dataset, so their argmax must match."""
+    method="radix" (parity): the airlight descent reruns Canny per block
+    crop exactly like the reference's compute_Q
+    (enhancement_strategies.py:180-183) — these strategies label the
+    Phase-1 dataset, so their argmax must match — and percentiles are the
+    exact O(n) radix select.  method="hist-fast" (throughput tier, mirrors
+    pipeline/six.py): canonical global-edge-map descent (edge_iters=4),
+    Fast Guided Filter (row subsample 4), histogram percentiles."""
     p = _split(img)
-    A = quadtree_airlight_exact_planes(p)
-    t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius, 0.001)
+    if method == "hist-fast":
+        A = quadtree_airlight_planes(p, edge_iters=4)
+        t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius,
+                                                0.001, guided_subsample=4)
+    else:
+        A = quadtree_airlight_exact_planes(p)
+        t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius,
+                                                0.001)
     rec = dehaze.recover_planes(p, t, A)
-    out = stretch.color_enhancement_planes(rec, l_low, l_high,
-                                            method="radix")
+    out = stretch.color_enhancement_planes(rec, l_low, l_high, method=method)
     if apply_gamma:
         out = tuple(stretch.gamma_correction_inv(c, gamma) for c in out)
     return jnp.stack(out, axis=-1)
 
 
-@partial(jax.jit, static_argnames=())
-def strong_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+def _fast(method):
+    # the throughput tier opts into the arithmetic-CBRT forward LAB
+    # (see pipeline/six.py:_fast)
+    return method == "hist-fast"
+
+
+def _strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """enhancement_strategies.py:349-374, params config.py:29-37."""
     return _per_image(
-        lambda im: _dehaze_then_stretch(im, 0.5, 15, 10.0, 95.0, True, 1.2), img
+        lambda im: _dehaze_then_stretch(im, 0.5, 15, 10.0, 95.0, True, 1.2,
+                                        method), img
     )
 
 
-@jax.jit
-def medium_dehazing(img: jnp.ndarray) -> jnp.ndarray:
+def _medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """enhancement_strategies.py:376-397, params config.py:38-45.
 
     NOTE the reference quirk: apply_medium_dehazing reads omega/radius from
     params but estimate_atmospheric_light always runs with min_size=1."""
     return _per_image(
-        lambda im: _dehaze_then_stretch(im, 0.6, 20, 15.0, 92.0, True, 1.2), img
+        lambda im: _dehaze_then_stretch(im, 0.6, 20, 15.0, 92.0, True, 1.2,
+                                        method), img
     )
 
 
-@jax.jit
-def light_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+def _light_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """enhancement_strategies.py:422-444, params config.py:46-53."""
     return _per_image(
-        lambda im: _dehaze_then_stretch(im, 0.4, 10, 15.0, 95.0, False, 1.2), img
+        lambda im: _dehaze_then_stretch(im, 0.4, 10, 15.0, 95.0, False, 1.2,
+                                        method), img
     )
 
 
-@jax.jit
-def clahe_enhancement(img: jnp.ndarray) -> jnp.ndarray:
+def _clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """enhancement_strategies.py:399-420: CLAHE then stretch 20-85.
 
     The L_low/L_high defaults (20/85) come from apply_clahe_enhancement's
     params.get defaults — config.py's clahe entry carries no L keys."""
     def one(im):
-        c = histeq.clahe_enhancement_planes(_split(im), 2.0, 8, 8)
+        c = histeq.clahe_enhancement_planes(_split(im), 2.0, 8, 8,
+                                            lab_fast=_fast(method))
         return jnp.stack(
-            stretch.color_enhancement_planes(c, 20.0, 85.0,
-                                             method="radix"), axis=-1
+            stretch.color_enhancement_planes(c, 20.0, 85.0, method=method),
+            axis=-1
         )
 
     return _per_image(one, img)
 
 
-@jax.jit
-def histogram_equalization(img: jnp.ndarray) -> jnp.ndarray:
+def _histogram_equalization(img: jnp.ndarray, method: str) -> jnp.ndarray:
     """enhancement_strategies.py:460-474: hist-eq then stretch 10-95."""
     def one(im):
         e = histeq.histogram_equalization_planes(_split(im))
         return jnp.stack(
-            stretch.color_enhancement_planes(e, 10.0, 95.0,
-                                             method="radix"), axis=-1
+            stretch.color_enhancement_planes(e, 10.0, 95.0, method=method),
+            axis=-1
         )
 
     return _per_image(one, img)
 
 
-STRATEGY_FNS = {
-    "strong_dehazing": strong_dehazing,
-    "medium_dehazing": medium_dehazing,
-    "clahe_enhancement": clahe_enhancement,
-    "light_enhancement": light_enhancement,
-    "histogram_equalization": histogram_equalization,
+_BUILDERS = {
+    "strong_dehazing": _strong_dehazing,
+    "medium_dehazing": _medium_dehazing,
+    "clahe_enhancement": _clahe_enhancement,
+    "light_enhancement": _light_enhancement,
+    "histogram_equalization": _histogram_equalization,
 }
+
+
+def _jit_with_method(fn, method):
+    jitted = jax.jit(partial(fn, method=method))
+    jitted.__doc__ = fn.__doc__
+    return jitted
+
+
+# exact parity tier (per-block-Canny quadtree, exact radix percentiles,
+# exact-gather LAB) — Phase-1 labels and apply_strategy dispatch run this
+STRATEGY_FNS = {k: _jit_with_method(f, "radix") for k, f in _BUILDERS.items()}
+# throughput tier (canonical descent, fast guided filter, histogram
+# percentiles, arithmetic LAB) — opt-in for bulk labeling (cli
+# build-dataset --fast); near-tie winners may occasionally flip
+STRATEGY_FNS_FAST = {k: _jit_with_method(f, "hist-fast")
+                     for k, f in _BUILDERS.items()}
+
+strong_dehazing = STRATEGY_FNS["strong_dehazing"]
+medium_dehazing = STRATEGY_FNS["medium_dehazing"]
+light_enhancement = STRATEGY_FNS["light_enhancement"]
+clahe_enhancement = STRATEGY_FNS["clahe_enhancement"]
+histogram_equalization = STRATEGY_FNS["histogram_equalization"]
 
 # Display names as used in CSVs / dataset labels (config.py 'name' fields).
 STRATEGY_DISPLAY = {k: v["name"] for k, v in DEFAULT_STRATEGIES.items()}

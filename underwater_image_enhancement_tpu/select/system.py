@@ -35,6 +35,7 @@ from underwater_image_enhancement_tpu.features.full import extract_all_features
 from underwater_image_enhancement_tpu.pipeline.strategies import (
     STRATEGY_DISPLAY,
     STRATEGY_FNS,
+    STRATEGY_FNS_FAST,
 )
 from underwater_image_enhancement_tpu.utils import io as uio
 from underwater_image_enhancement_tpu.utils.config import Config
@@ -42,18 +43,23 @@ from underwater_image_enhancement_tpu.utils.config import Config
 _LABEL_ORDER = tuple(STRATEGY_FNS)
 
 
-@partial(jax.jit, static_argnames=("weights", "return_all"))
-def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True):
+@partial(jax.jit, static_argnames=("weights", "return_all", "fast"))
+def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True,
+                 fast: bool = False):
     """Phase-1 inner loop as ONE compiled program for a same-shape batch:
     79-dim features + all 5 strategies + weighted quality scores + argmax
     (main.py:116-146).  weights: hashable ((name, w), ...) tuple.
     return_all=False selects the winning image ON DEVICE and returns
     (B, H, W, 3) instead of the (B, 5, H, W, 3) stack — a 5x smaller
-    device->host transfer for the default save-best-only Phase 1."""
+    device->host transfer for the default save-best-only Phase 1.
+    fast=True labels with the throughput-tier strategies
+    (pipeline/strategies.py STRATEGY_FNS_FAST) — near-tie winners may
+    occasionally flip vs the exact tier."""
     from underwater_image_enhancement_tpu.features.full import extract_batch
     from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
 
-    stacks = jnp.stack([STRATEGY_FNS[k](imgs) for k in _LABEL_ORDER], axis=1)
+    fns = STRATEGY_FNS_FAST if fast else STRATEGY_FNS
+    stacks = jnp.stack([fns[k](imgs) for k in _LABEL_ORDER], axis=1)
     B, S = stacks.shape[0], stacks.shape[1]
     flat = stacks.reshape((B * S,) + stacks.shape[2:])
     scores = comprehensive_batch(flat, dict(weights)).reshape(B, S)
@@ -97,8 +103,9 @@ class SelfSupervisedSystem:
         strategies + weighted scoring (the hot loop of main.py:63-196; the
         reference pays 1 + 5x2 full-image passes per image on the host)."""
         frozen = tuple(sorted(self.config.quality_weights.items()))
-        feats, scores, best, stacks = _label_batch(jnp.asarray(imgs), frozen,
-                                                   return_all)
+        feats, scores, best, stacks = _label_batch(
+            jnp.asarray(imgs), frozen, return_all,
+            fast=bool(getattr(self.config, "fast_label", False)))
         return (np.asarray(feats), np.asarray(scores),
                 np.asarray(best), np.asarray(stacks))
 

@@ -128,6 +128,10 @@ class Config:
     batch_size: int = 8
     dtype: str = "float32"
     data_parallel: bool = True
+    # Phase-1 throughput tier: label with STRATEGY_FNS_FAST (canonical
+    # airlight descent, fast guided filter, histogram percentiles) —
+    # near-tie winners may occasionally flip vs the exact parity tier
+    fast_label: bool = False
 
     @property
     def feature_folder(self) -> str:
