@@ -286,9 +286,9 @@ def test_build_dataset_batches_per_shape_group(tmp_path, monkeypatch):
     calls = []
     real = S._label_batch
 
-    def counting(imgs, weights, return_all=True):
+    def counting(imgs, weights, return_all=True, **kw):
         calls.append(int(imgs.shape[0]))
-        return real(imgs, weights, return_all)
+        return real(imgs, weights, return_all, **kw)
 
     monkeypatch.setattr(S, "_label_batch", counting)
     cfg = Config(image_folder=str(raw), output_folder=str(tmp_path / "out"))

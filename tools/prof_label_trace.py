@@ -17,6 +17,7 @@ from underwater_image_enhancement_tpu.utils.config import (
 H, W = (1080, 1920) if len(sys.argv) < 2 else map(int, sys.argv[1].split("x"))
 B = 4
 K = 2
+FAST = "--fast" in sys.argv
 weights = tuple(sorted(DEFAULT_QUALITY_WEIGHTS.items()))
 
 
@@ -38,7 +39,7 @@ frames.block_until_ready()
 def run(x):
     def body(i, x):
         feats, scores, best, winners = _label_batch(
-            x, weights, return_all=False)
+            x, weights, return_all=False, fast=FAST)
         return requant(winners + 1e-9 * jnp.mean(feats))
     y = jax.lax.fori_loop(0, K, body, x)
     return jnp.sum(y[:, ::128, ::128, 0])

@@ -47,14 +47,14 @@ def _cmd_enhance(args) -> None:
               "L_low": args.l_low, "L_high": args.l_high}
     files = uio.collect_images(args.input) if inp.is_dir() else [inp]
     outdir = Path(args.output)
-    for p in files:
-        img = uio.imread_unit(str(p))
-        if img is None:
-            print(f"skip unreadable {p.name}")
-            continue
-        out = np.asarray(enhance(jnp.asarray(img), params))
-        dst = outdir / f"{p.stem}_enhanced.png" if inp.is_dir() else outdir
-        uio.imwrite_unit(str(dst), out)
+    with uio.AsyncWriter() as writer:
+        for p, img in uio.decode_iter(
+                files, log=lambda m: print(f"skip {m.replace('warning: ', '')}")):
+            out = np.asarray(enhance(jnp.asarray(img), params))
+            dst = outdir / f"{p.stem}_enhanced.png" if inp.is_dir() else outdir
+            writer.write(str(dst), out)
+    for path, err in writer.close():
+        print(f"  write failed: {Path(path).name} - {err[:50]}")
     print(f"done -> {args.output}")
 
 
@@ -124,7 +124,7 @@ def _cmd_six(args) -> None:
             img_rows = []
             for k, name in enumerate(SIX_ORDER):
                 dst = outdir / f"{p.stem}_{name}.png"
-                uio.imwrite_unit(str(dst), outs_b[j, k])
+                writer.write(str(dst), outs_b[j, k])
                 img_rows.append({
                     "filename": p.name, "image_type": cast_name,
                     "strategy": name, "status": "success",
@@ -141,16 +141,20 @@ def _cmd_six(args) -> None:
     # select/system.py:build_dataset): images accumulate in per-shape
     # pending buffers that flush as soon as a full batch is ready, so host
     # memory is bounded by n_shapes x batch_size frames — a
-    # decode-everything-first version held the whole folder in RAM
+    # decode-everything-first version held the whole folder in RAM.
+    # Decode-ahead + write-behind threads overlap host IO with device
+    # compute: one 1080p PNG encode costs ~10x the six-strategy program.
     bs = max(1, int(args.batch_size))
     pending: dict = {}
     order = []
-    for p in files:
-        img = uio.imread_unit(str(p))
-        if img is None:
-            print(f"  unreadable: {p.name}")
-            n_total -= 1
-            continue
+    writer = uio.AsyncWriter()
+
+    def _log_unreadable(msg):
+        nonlocal n_total
+        print(f"  {msg.replace('warning: ', '')}")
+        n_total -= 1
+
+    for p, img in uio.decode_iter(files, log=_log_unreadable):
         order.append(p)
         buf = pending.setdefault(img.shape, [])
         buf.append((p, img))
@@ -160,6 +164,16 @@ def _cmd_six(args) -> None:
     for buf in pending.values():
         if buf:
             process_chunk(buf)
+
+    # join write-behind IO; patch rows for any failed writes before the CSV
+    for path, err in writer.close():
+        name = Path(path).name
+        for img_rows in rows_by_path.values():
+            for r in img_rows:
+                if r["status"] == "success" and Path(r["output_path"]).name == name:
+                    r["status"] = "failed"
+                    r["output_path"] = f"Error: {err[:50]}"
+                    print(f"  write failed: {name} - {err[:50]}")
 
     # emit log rows in the original folder order (reference order)
     rows = [r for p in order for r in rows_by_path.get(p, [])]
@@ -194,15 +208,15 @@ def _cmd_auto(args) -> None:
 
     files = uio.collect_images(args.input)
     outdir = Path(args.output)
-    for p in files:
-        img = uio.imread_unit(str(p))
-        if img is None:
-            continue
-        best_imgs, best, scores = auto_enhance_batch(jnp.asarray(img)[None])
-        name = CONFIG_ORDER[int(best[0])]
-        uio.imwrite_unit(str(outdir / f"{p.stem}_{name}.png"),
+    with uio.AsyncWriter() as writer:
+        for p, img in uio.decode_iter(files, log=lambda m: None):
+            best_imgs, best, scores = auto_enhance_batch(jnp.asarray(img)[None])
+            name = CONFIG_ORDER[int(best[0])]
+            writer.write(str(outdir / f"{p.stem}_{name}.png"),
                          np.asarray(best_imgs[0]))
-        print(f"{p.name}: {name} ({float(scores[0, int(best[0])]):.2f})")
+            print(f"{p.name}: {name} ({float(scores[0, int(best[0])]):.2f})")
+    for path, err in writer.close():
+        print(f"  write failed: {Path(path).name} - {err[:50]}")
 
 
 def _cmd_build_dataset(args) -> None:

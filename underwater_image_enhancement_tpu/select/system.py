@@ -136,7 +136,9 @@ class SelfSupervisedSystem:
         # STREAMING decode with shape grouping: images accumulate in
         # per-shape pending buffers that flush as soon as a full batch is
         # ready, so host memory is bounded by n_shapes x batch_size frames
-        # (a decode-everything-first version held the whole dataset in RAM)
+        # (a decode-everything-first version held the whole dataset in RAM).
+        # decode_iter/AsyncWriter overlap host decode + winner-PNG encode
+        # with the device labeling program.
         pending: Dict[tuple, List[Tuple[Path, np.ndarray]]] = {}
         return_all = bool(self.config.save_all_enhanced)
 
@@ -148,14 +150,8 @@ class SelfSupervisedSystem:
                              return_all, rows_by_path, items_by_path)
 
         bs = max(1, batch_size)
-        for path in files:
-            img = uio.imread_unit(str(path))
-            if img is None:
-                log(f"warning: unreadable {path.name}")
-                continue
-            if img.shape[0] < 10 or img.shape[1] < 10:
-                log(f"warning: {path.name} too small, skipping")
-                continue
+        self._writer = uio.AsyncWriter()
+        for path, img in uio.decode_iter(files, log=log, min_size=10):
             order.append(path)
             buf = pending.setdefault(img.shape, [])
             buf.append((path, img))
@@ -165,6 +161,8 @@ class SelfSupervisedSystem:
         for buf in pending.values():
             if buf:
                 flush(buf)
+        for wpath, err in self._writer.close():
+            log(f"warning: write failed {Path(wpath).name}: {err}")
 
         # emit rows/dataset in the original folder order (reference order)
         csv_rows: List[Dict] = []
@@ -190,7 +188,7 @@ class SelfSupervisedSystem:
             )
             items_by_path[path] = item
             winner = stacks[j, k] if return_all else stacks[j]
-            uio.imwrite_unit(
+            self._writer.write(
                 str(Path(self.config.strategy_folder)
                     / f"{path.stem}_{item.best_strategy}.png"),
                 winner,
@@ -199,7 +197,7 @@ class SelfSupervisedSystem:
                 for m, nm in enumerate(names):
                     if m == k:
                         continue
-                    uio.imwrite_unit(
+                    self._writer.write(
                         str(Path(self.config.strategy_folder)
                             / f"{path.stem}_{nm}.png"),
                         stacks[j, m],
