@@ -59,16 +59,23 @@ def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True,
     from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
 
     fns = STRATEGY_FNS_FAST if fast else STRATEGY_FNS
-    stacks = jnp.stack([fns[k](imgs) for k in _LABEL_ORDER], axis=1)
-    B, S = stacks.shape[0], stacks.shape[1]
-    flat = stacks.reshape((B * S,) + stacks.shape[2:])
-    scores = comprehensive_batch(flat, dict(weights)).reshape(B, S)
+    outs = [fns[k](imgs) for k in _LABEL_ORDER]
+    # score each strategy's batch directly — identical per-image math to
+    # scoring one stacked (B*S, ...) batch, without materializing the
+    # (B, S, H, W, 3) stack (its concatenate+copy+gather cost ~1 ms/frame
+    # @1080p x batch 4 on v5e in the device trace, tools/prof_label_trace)
+    scores = jnp.stack(
+        [comprehensive_batch(o, dict(weights)) for o in outs], axis=1)
     feats = extract_batch(imgs)
     best = jnp.argmax(scores, axis=1)
     if return_all:
-        return feats, scores, best, stacks
-    best_imgs = jnp.take_along_axis(
-        stacks, best[:, None, None, None, None], axis=1)[:, 0]
+        return feats, scores, best, jnp.stack(outs, axis=1)
+    # winner selection as a fused elementwise where-chain over the five
+    # live outputs (bit-identical to stack + take_along_axis)
+    best_imgs = outs[0]
+    for k in range(1, len(outs)):
+        best_imgs = jnp.where((best == k)[:, None, None, None],
+                              outs[k], best_imgs)
     return feats, scores, best, best_imgs
 
 
