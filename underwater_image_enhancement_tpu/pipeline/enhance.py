@@ -142,14 +142,19 @@ def auto_enhance_batch(imgs: jnp.ndarray):
     (best_images, best_idx, scores (B, 5))."""
     from underwater_image_enhancement_tpu.utils.config import DEFAULT_QUALITY_WEIGHTS
 
-    stacks = jnp.stack([STRATEGY_FNS[k](imgs) for k in CONFIG_ORDER], axis=1)
-    B, S = stacks.shape[0], stacks.shape[1]
-    flat = stacks.reshape((B * S,) + stacks.shape[2:])
-    scores = comprehensive_batch(flat, DEFAULT_QUALITY_WEIGHTS).reshape(B, S)
+    # no (B, S, H, W, 3) stack: score per strategy output and select the
+    # winner with a fused elementwise where-chain (same rewrite as
+    # select/system._label_batch — the stack's concatenate+copy+gather
+    # cost ~1 ms/frame @1080p on v5e)
+    outs = [STRATEGY_FNS[k](imgs) for k in CONFIG_ORDER]
+    scores = jnp.stack(
+        [comprehensive_batch(o, DEFAULT_QUALITY_WEIGHTS) for o in outs],
+        axis=1)
     best = jnp.argmax(scores, axis=1)
-    best_imgs = jnp.take_along_axis(
-        stacks, best[:, None, None, None, None], axis=1
-    )[:, 0]
+    best_imgs = outs[0]
+    for k in range(1, len(outs)):
+        best_imgs = jnp.where((best == k)[:, None, None, None],
+                              outs[k], best_imgs)
     return best_imgs, best, scores
 
 
