@@ -108,6 +108,33 @@ def test_enhance_batch_dp_matches_single(mesh8, rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_label_batch_dp_matches_single(mesh8, rng):
+    """DP Phase-1 labeling == single-device labeling: features, scores,
+    winner indices, and device-selected winner images all agree when the
+    batch is sharded over the mesh (VERDICT r3 #3 — the heaviest per-frame
+    workload gets the same zero-collective batch sharding as enhance)."""
+    from underwater_image_enhancement_tpu.select.system import (
+        _label_batch,
+        label_batch_dp,
+    )
+    from underwater_image_enhancement_tpu.utils.config import Config
+
+    # u8-grid frames like any decoded image
+    imgs = (rng.integers(0, 256, (8, 40, 56, 3)).astype(np.float32) / 255.0)
+    weights = tuple(sorted(Config().quality_weights.items()))
+    feats_dp, scores_dp, best_dp, winners_dp = label_batch_dp(
+        jnp.asarray(imgs), weights, mesh8, return_all=False)
+    feats_1, scores_1, best_1, winners_1 = _label_batch(
+        jnp.asarray(imgs), weights, False)
+    np.testing.assert_array_equal(np.asarray(best_dp), np.asarray(best_1))
+    np.testing.assert_allclose(np.asarray(scores_dp), np.asarray(scores_1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats_dp), np.asarray(feats_1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(winners_dp), np.asarray(winners_1),
+                               atol=1e-6)
+
+
 def test_guided_filter_spatial_matches_single_device(mesh8, rng):
     """Spatially sharded guided filter == single-device op (same math,
     two halo exchanges), and close to the cv2 float64 oracle."""

@@ -190,6 +190,59 @@ def test_vgg_trainer_bf16_default(tiny_dataset):
     assert fp32.compute_dtype == jnp.float32
 
 
+def test_vgg_trainer_predictor_preprocessing_roundtrip(tiny_dataset, tmp_path):
+    """Train -> save -> load via EnhancementPredictor: the predictor's raw
+    head outputs on an image equal the trainer-side model.apply outputs
+    under the SAME preprocessing — i.e. both sides ImageNet-normalize the
+    backbone input.  Guards the reference's silent train->inference skew
+    (vgg_16_UIE.py:327-330 declares-but-never-applies normalization while
+    use_trained_model.py:34-46 normalizes; docs/PARITY.md divergence #4)."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.features.full import extract_all_features
+    from underwater_image_enhancement_tpu.models.predictor import EnhancementPredictor
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import VGGTrainer
+
+    ds = PairedImageDataset(*tiny_dataset, target_size=32, augment=False)
+    tr, va = ds.split(0.75)
+    trainer = VGGTrainer(hidden_dim=16, image_size=32, lr=1e-3, epochs=2,
+                         compute_dtype="float32")
+    trainer.fit(lambda: ds.batches(tr, 2, seed=0),
+                lambda: ds.batches(va, 2, shuffle=False),
+                epochs=2, output_folder=str(tmp_path), log=lambda *_: None)
+
+    pred = EnhancementPredictor(
+        checkpoint_path=str(tmp_path / "final_model"),
+        hidden_dim=16, input_size=32, pretrained_vgg=None)
+
+    # u8-grid image: the predictor's u8 resize round-trip is then lossless
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 256, (32, 32, 3)).astype(np.float32) / 255.0)
+
+    # 1) both sides apply the SAME preprocessing to the backbone input
+    prep_pred = np.asarray(pred._prep(jnp.asarray(img)))
+    prep_trainer = np.asarray(trainer._backbone_input(jnp.asarray(img)))
+    np.testing.assert_allclose(prep_pred, prep_trainer, atol=1e-6)
+
+    # 2) the checkpoint round-trips: raw head outputs agree bitwise-close
+    feats = extract_all_features(jnp.asarray(img))[None]
+    raw_pred = pred._apply(pred.variables, jnp.asarray(prep_pred)[None], feats)
+    raw_trainer = trainer.model.apply(
+        {"params": trainer.params, "batch_stats": trainer.batch_stats},
+        jnp.asarray(prep_trainer)[None], feats, train=False)
+    assert set(raw_pred) == set(raw_trainer)
+    for k in raw_pred:
+        np.testing.assert_allclose(np.asarray(raw_pred[k]),
+                                   np.asarray(raw_trainer[k]), atol=1e-5)
+
+    # 3) reference-faithful opt-out still exists and really skips normalize
+    raw_tr = VGGTrainer(hidden_dim=16, image_size=32, epochs=2,
+                        imagenet_normalize=False)
+    np.testing.assert_array_equal(
+        np.asarray(raw_tr._backbone_input(jnp.asarray(img))), img)
+
+
 def test_vgg_lr_schedule_anneals():
     """The cosine-warm-restarts LR actually reaches the jitted step: the
     first-step update magnitude at simulated epoch 9 shrinks by the schedule

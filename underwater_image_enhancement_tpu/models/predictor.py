@@ -20,13 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from underwater_image_enhancement_tpu.features.full import extract_all_features
-from underwater_image_enhancement_tpu.models.vgg import ImprovedVGGParameterNet
+from underwater_image_enhancement_tpu.models.vgg import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    ImprovedVGGParameterNet,
+)
 from underwater_image_enhancement_tpu.ops.resize import resize_u8
 from underwater_image_enhancement_tpu.pipeline.enhance import enhance_batch
 from underwater_image_enhancement_tpu.utils import io as uio
-
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 CLAMPS = {  # use_trained_model.py:74-79
     "omega": (0.1, 0.9),

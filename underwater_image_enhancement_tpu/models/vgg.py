@@ -30,6 +30,15 @@ import numpy as np
 # torchvision vgg16.features[:23] conv channel plan; 'M' = 2x2 maxpool
 VGG_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
 
+# ImageNet statistics the VGG backbone input is normalized with — the
+# canonical preprocessing for both training (train/trainer.VGGTrainer) and
+# inference (models/predictor.EnhancementPredictor).  The reference applies
+# them only at inference (use_trained_model.py:34-46); its training dataset
+# declares but never uses them (vgg_16_UIE.py:327-330 is dead code) — see
+# docs/PARITY.md "Known divergences".
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
 PARAM_RANGES = {
     "omega": (0.3, 0.9),
     "gamma": (1.0, 1.5),

@@ -79,6 +79,27 @@ def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True,
     return feats, scores, best, best_imgs
 
 
+def label_batch_dp(imgs, weights, mesh, return_all: bool = False,
+                   fast: bool = False):
+    """Data-parallel Phase-1 labeling: shard the (B, H, W, 3) image batch
+    over a 1-D device mesh and run the fused label program on it.
+
+    Every reduction inside `_label_batch` (strategy percentiles, quality
+    histograms, the 79-dim features, the argmax) is per-image, so XLA
+    partitions the whole program along the batch with ZERO collectives —
+    the same pattern as `pipeline/enhance.enhance_batch_dp`.  This is the
+    multi-chip story for the heaviest per-frame workload: the reference
+    labels 890 UIEB images serially on the host (main.py:88-155).
+
+    weights: hashable ((name, w), ...) tuple, as for `_label_batch`.
+    B must be divisible by the mesh size.
+    """
+    from underwater_image_enhancement_tpu.parallel.mesh import shard_batch
+
+    sharded = shard_batch(jnp.asarray(imgs), mesh)
+    return _label_batch(sharded, weights, return_all, fast=fast)
+
+
 @dataclass
 class DatasetItem:
     filename: str

@@ -424,8 +424,20 @@ class VGGTrainer(_BaseTrainer):
                  image_size: int = 224, seed: int = 0, mesh=None,
                  compute_dtype: str = "bfloat16",
                  stretch_mode: str = "quantile",
-                 vgg_loss_params=None, pretrained_vgg: str | None = "auto"):
+                 vgg_loss_params=None, pretrained_vgg: str | None = "auto",
+                 imagenet_normalize: bool = True):
         super().__init__()
+        # Canonical backbone preprocessing: ImageNet-normalize the VGG input,
+        # matching EnhancementPredictor._preprocess (use_trained_model.py:
+        # 39-46) and what an ImageNet-pretrained trunk expects.  The
+        # REFERENCE trains on raw [0,1] images — its dataset declares the
+        # normalize transform but never applies it (vgg_16_UIE.py:327-330 is
+        # dead code; __getitem__ at :389-421 returns raw images fed straight
+        # to the net at :527-529) while its inference normalizes — a silent
+        # train->inference skew.  imagenet_normalize=False reproduces that
+        # reference-faithful raw-input training.  See docs/PARITY.md
+        # "Known divergences".
+        self.imagenet_normalize = imagenet_normalize
         # bf16 compute by default — the AMP-autocast analog the reference
         # trains under (vgg_16_UIE.py:504 GradScaler); params, the loss,
         # and the enhancement pipeline stay float32
@@ -516,13 +528,29 @@ class VGGTrainer(_BaseTrainer):
         self._step = self._make_step()
         self._eval = self._make_eval()
 
+    def _backbone_input(self, imgs):
+        """The backbone preprocessing applied to the [0,1] batch — identical
+        to EnhancementPredictor's normalize step (the resize happened in the
+        dataset).  The enhancement pipeline and the loss still consume the
+        raw [0,1] images."""
+        if not self.imagenet_normalize:
+            return imgs
+        from underwater_image_enhancement_tpu.models.vgg import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        return (imgs - IMAGENET_MEAN) / IMAGENET_STD
+
     def _forward(self, params, batch_stats, imgs, feats, refs, dropout_rng,
                  train):
         variables = {"params": params, "batch_stats": batch_stats}
-        x = imgs.astype(self.compute_dtype)
+        x = self._backbone_input(imgs).astype(self.compute_dtype)
+        # mutable must be False (not []) when not training: an empty
+        # mutable LIST still makes flax return an (output, vars) tuple
         out = self.model.apply(
             variables, x, feats, train=train,
-            mutable=["batch_stats"] if train else [],
+            mutable=["batch_stats"] if train else False,
             rngs={"dropout": dropout_rng} if train else {},
         )
         if train:
