@@ -207,3 +207,62 @@ def test_cli_waternet(img_folder, tmp_path):
           "--batch-size", "2"])
     files = sorted(p.name for p in out.iterdir())
     assert files == ["p0_waternet.png", "p1_waternet.png"]
+
+
+def test_cli_fusion_mixed_sizes_streams(tmp_path, rng, monkeypatch):
+    """`fusion` batches same-shape groups, handles mixed shapes, skips
+    unreadable files, and streams: a full same-shape batch's writes are
+    submitted before the folder is fully decoded (the decode-everything-
+    first version held the whole folder in RAM)."""
+    src = tmp_path / "mixed"
+    n_a = 12
+    for i in range(n_a):
+        uio.imwrite_unit(str(src / f"a{i:02d}.png"),
+                         rng.random((32, 40, 3)).astype(np.float32))
+    uio.imwrite_unit(str(src / "b0.png"),
+                     rng.random((48, 40, 3)).astype(np.float32))
+    (src / "broken.png").write_bytes(b"not a png")
+    events = []
+    real_read = uio.imread_unit
+    real_write = uio.AsyncWriter.write
+    monkeypatch.setattr(uio, "imread_unit",
+                        lambda p: (events.append("r"), real_read(p))[1])
+    monkeypatch.setattr(
+        uio.AsyncWriter, "write",
+        lambda self, p, im: (events.append("w"), real_write(self, p, im))[1])
+    out = tmp_path / "o"
+    main(["fusion", "--input", str(src), "--output", str(out),
+          "--batch-size", "2"])
+    pngs = [f for f in out.iterdir() if f.suffix == ".png"]
+    assert len(pngs) == n_a + 1
+    # first write submit after the first full 2-image batch but well before
+    # the folder is decoded: <= batch(2) + decode-ahead queue(8) + 2 slack
+    first_w = events.index("w")
+    assert 2 <= first_w <= 12, events
+
+
+def test_cli_waternet_mixed_sizes_streams(tmp_path, rng, monkeypatch):
+    """Same streaming gates for `waternet` (VERDICT r3 #5)."""
+    src = tmp_path / "mixed"
+    n_a = 12
+    for i in range(n_a):
+        uio.imwrite_unit(str(src / f"a{i:02d}.png"),
+                         rng.random((32, 40, 3)).astype(np.float32))
+    uio.imwrite_unit(str(src / "b0.png"),
+                     rng.random((48, 40, 3)).astype(np.float32))
+    (src / "broken.png").write_bytes(b"not a png")
+    events = []
+    real_read = uio.imread_unit
+    real_write = uio.AsyncWriter.write
+    monkeypatch.setattr(uio, "imread_unit",
+                        lambda p: (events.append("r"), real_read(p))[1])
+    monkeypatch.setattr(
+        uio.AsyncWriter, "write",
+        lambda self, p, im: (events.append("w"), real_write(self, p, im))[1])
+    out = tmp_path / "o"
+    main(["waternet", "--input", str(src), "--output", str(out),
+          "--batch-size", "2"])
+    pngs = [f for f in out.iterdir() if f.suffix == ".png"]
+    assert len(pngs) == n_a + 1
+    first_w = events.index("w")
+    assert 2 <= first_w <= 12, events
