@@ -454,6 +454,84 @@ def test_zoo_trainer_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(p["omega"])).all()
 
 
+@pytest.mark.parametrize("model_type,variant,loader,artifact", [
+    ("resnet", "b0", "load_resnet18_npz", "resnet18"),
+    ("efficientnet", "b3", "load_efficientnet_npz", "efficientnet_b3"),
+    ("vit", "b0", "load_vit_npz", "vit_b_16"),
+])
+def test_zoo_trainer_pretrained_dispatch(tmp_path, monkeypatch, model_type,
+                                         variant, loader, artifact):
+    """ZooTrainer routes a pretrained .npz to the right backbone loader for
+    ALL THREE trunks (round-3 raised for anything but resnet), and 'auto'
+    discovery resolves the conventional artifact name per model_type."""
+    from underwater_image_enhancement_tpu.models import zoo
+    from underwater_image_enhancement_tpu.train.trainer import ZooTrainer
+    from underwater_image_enhancement_tpu.utils.weights import find_zoo_npz
+
+    calls = []
+
+    def fake_loader(variables, path, *a):
+        calls.append((path,) + a)
+        return variables
+
+    monkeypatch.setattr(zoo, loader, fake_loader)
+    # small image size keeps init cheap; the load dispatch is what's gated
+    tr = ZooTrainer(model_type=model_type, variant=variant, image_size=32,
+                    pretrained="/tmp/fake.npz")
+    assert calls and calls[0][0] == "/tmp/fake.npz"
+    if model_type == "efficientnet":
+        assert calls[0][1] == variant
+    assert tr.model_type == model_type
+
+    # auto-discovery resolves the conventional per-backbone artifact name
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    np.savez(wdir / f"{artifact}.npz", dummy=np.zeros(1))
+    monkeypatch.setenv("UIE_TPU_WEIGHTS", str(wdir))
+    assert find_zoo_npz(model_type, variant) == str(wdir / f"{artifact}.npz")
+
+
+def test_zoo_predictor_roundtrip(tmp_path):
+    """ZooPredictor loads a ZooTrainer checkpoint and agrees with the
+    trainer's own predict_params under the SAME preprocessing (both
+    ImageNet-normalize the backbone input); enhance_image applies the
+    six-param composite at full resolution with clamped params."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.models.predictor import (
+        CLAMPS,
+        ZooPredictor,
+    )
+    from underwater_image_enhancement_tpu.train.trainer import ZooTrainer
+
+    rng = np.random.default_rng(1)
+    imgs = (rng.integers(0, 256, (4, 32, 32, 3)).astype(np.float32) / 255.0)
+    refs = np.clip(imgs * 1.2, 0, 1).astype(np.float32)
+    tr = ZooTrainer(model_type="resnet", image_size=32, pretrained=None,
+                    lr=1e-3)
+    batches = lambda: iter([(imgs[:2], refs[:2]), (imgs[2:], refs[2:])])
+    tr.fit(batches, batches, epochs=1, output_folder=str(tmp_path),
+           log=lambda *a: None)
+
+    pred = ZooPredictor(checkpoint_path=str(tmp_path / "final_model"),
+                        model_type="resnet", input_size=32)
+    img = imgs[0]
+    # same-preprocessing agreement: the predictor's clamped params equal the
+    # trainer's raw head outputs (head ranges sit inside the clamps)
+    want = {k: float(np.asarray(v).reshape(-1)[0])
+            for k, v in tr.predict_params(jnp.asarray(img)[None]).items()}
+    got = pred.predict_parameters(jnp.asarray(img))
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, atol=1e-4, err_msg=k)
+    assert set(CLAMPS) <= set(got)
+
+    # full-res apply: bigger frame than the 32^2 prediction resolution
+    big = (rng.integers(0, 256, (48, 64, 3)).astype(np.float32) / 255.0)
+    out = pred.enhance_image(jnp.asarray(big))
+    assert out.shape == big.shape
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+
 def test_weights_autodiscovery(tmp_path, monkeypatch):
     """$UIE_TPU_WEIGHTS/vgg16.npz is picked up by VGGTrainer by default
     (VERDICT r2 item 4): backbone trunk filled, no random-trunk warning."""

@@ -28,13 +28,22 @@ import numpy as np
 def _cmd_enhance(args) -> None:
     import jax.numpy as jnp
 
-    from underwater_image_enhancement_tpu.models.predictor import EnhancementPredictor
+    from underwater_image_enhancement_tpu.models.predictor import (
+        EnhancementPredictor,
+        ZooPredictor,
+    )
     from underwater_image_enhancement_tpu.pipeline.enhance import enhance
     from underwater_image_enhancement_tpu.utils import io as uio
 
     inp = Path(args.input)
     if args.model:
-        pred = EnhancementPredictor(checkpoint_path=args.model)
+        arch = getattr(args, "arch", "vgg")
+        if arch == "vgg":
+            pred = EnhancementPredictor(checkpoint_path=args.model)
+        else:  # zoo checkpoint (train-zoo output)
+            pred = ZooPredictor(checkpoint_path=args.model, model_type=arch,
+                                variant=getattr(args, "variant", "b0"),
+                                input_size=getattr(args, "input_size", 224))
         if inp.is_dir():
             n = pred.process_folder(args.input, args.output)
             print(f"enhanced {n} images -> {args.output}")
@@ -415,6 +424,29 @@ def _cmd_train_vgg(args) -> None:
     )
 
 
+def _cmd_train_zoo(args) -> None:
+    """End-to-end training for the model_architectures.py backbones
+    (resnet18 / efficientnet b0,b3 / vit_b_16) — the trainer wiring the
+    reference ships broken (model_architectures.py:199-203)."""
+    from underwater_image_enhancement_tpu.train.data import PairedImageDataset
+    from underwater_image_enhancement_tpu.train.trainer import ZooTrainer
+
+    ds = PairedImageDataset(args.input, args.reference,
+                            target_size=args.image_size)
+    tr_idx, va_idx = ds.split(0.8)
+    pretrained = None if args.pretrained == "none" else args.pretrained
+    trainer = ZooTrainer(model_type=args.model, variant=args.variant,
+                         image_size=args.image_size, pretrained=pretrained)
+    if args.resume:
+        trainer.load(args.resume)
+    trainer.fit(
+        lambda: ds.batches(tr_idx, args.batch_size,
+                           seed=len(trainer.train_losses)),
+        lambda: ds.batches(va_idx, args.batch_size, shuffle=False),
+        epochs=args.epochs, output_folder=args.output,
+    )
+
+
 def _cmd_predict(args) -> None:
     from underwater_image_enhancement_tpu.select.system import SelfSupervisedSystem
     from underwater_image_enhancement_tpu.utils.config import Config
@@ -459,7 +491,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("enhance", help="enhance image(s)")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--model", default=None, help="VGG predictor checkpoint")
+    p.add_argument("--model", default=None,
+                   help="predictor checkpoint (VGG by default; see --arch)")
+    p.add_argument("--arch", default="vgg",
+                   choices=("vgg", "resnet", "efficientnet", "vit"),
+                   help="which predictor the checkpoint belongs to "
+                        "(resnet/efficientnet/vit = train-zoo output)")
+    p.add_argument("--variant", default="b0", choices=("b0", "b3"),
+                   help="efficientnet width/depth scale (with --arch "
+                        "efficientnet)")
+    p.add_argument("--input-size", type=int, default=224,
+                   help="parameter-prediction resolution (zoo archs)")
     p.add_argument("--omega", type=float, default=0.6)
     p.add_argument("--gamma", type=float, default=1.2)
     p.add_argument("--l-low", type=float, default=10.0)
@@ -523,6 +565,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "~/.cache/uie_tpu (tools/fetch_vgg16_npz.py output); "
                         "'none' forces random init")
     p.set_defaults(fn=_cmd_train_vgg)
+
+    p = sub.add_parser("train-zoo",
+                       help="train a resnet/efficientnet/vit predictor")
+    p.add_argument("--input", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--model", default="resnet",
+                   choices=("resnet", "efficientnet", "vit"))
+    p.add_argument("--variant", default="b0", choices=("b0", "b3"),
+                   help="efficientnet width/depth scale")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--pretrained", default="auto",
+                   help=".npz from tools/fetch_zoo_npz.py (ImageNet trunk); "
+                        "'auto' searches $UIE_TPU_WEIGHTS then "
+                        "~/.cache/uie_tpu; 'none' forces random init")
+    p.set_defaults(fn=_cmd_train_zoo)
 
     p = sub.add_parser("fusion", help="Ancuti multi-scale fusion enhancement")
     p.add_argument("--input", required=True)

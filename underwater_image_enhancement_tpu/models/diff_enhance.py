@@ -100,6 +100,28 @@ def enhance_vgg(img: jnp.ndarray, params: Dict[str, jnp.ndarray],
 
 
 @partial(jax.jit, static_argnames=("stretch_mode",))
+def enhance_zoo(img: jnp.ndarray, params: Dict[str, jnp.ndarray],
+                stretch_mode: str = "index") -> jnp.ndarray:
+    """The six-param composite for the model_architectures.py backbones:
+    percentile stretch -> omega dehaze (the vgg-flavor op order,
+    vgg_16_UIE.py:32-55) -> use_gamma-gated ``img**gamma`` (the mlp-flavor
+    soft gate, deep_learning_parameters.py:43-56).  guided_radius has no
+    differentiable consumer (the reference never trains it either).
+
+    params: 'omega', 'gamma', 'L_low', 'L_high', 'use_gamma' shaped (B,) or
+    (B, 1); extra keys (guided_radius) are ignored."""
+    flat = {k: jnp.asarray(v).reshape(-1)
+            for k, v in params.items()
+            if k in ("omega", "gamma", "L_low", "L_high", "use_gamma")}
+    out = color_stretch_batch(img, flat["L_low"], flat["L_high"], stretch_mode)
+    out = dehaze_batch(out, flat["omega"])
+    g = flat["gamma"].reshape(-1, 1, 1, 1)
+    use_g = flat["use_gamma"].reshape(-1, 1, 1, 1)
+    out = use_g * jnp.power(out + 1e-8, g) + (1.0 - use_g) * out
+    return jnp.clip(out, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("stretch_mode",))
 def enhance_mlp(img: jnp.ndarray, params: Dict[str, jnp.ndarray],
                 stretch_mode: str = "index") -> jnp.ndarray:
     """deep_learning_parameters.py:32-56 forward (stretch + gated 1/gamma)."""

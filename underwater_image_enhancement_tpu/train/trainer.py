@@ -274,36 +274,54 @@ class ZooTrainer(_BaseTrainer):
     same differentiable objective as the other trainers: image -> 6 params
     (models.zoo head ranges, model_architectures.py:61-66) -> stretch +
     omega-dehaze + use_gamma-gated gamma -> ReferenceLoss vs the UIEB
-    reference image.  ``pretrained`` loads a converted torchvision
-    resnet18 .npz backbone (models.zoo.load_resnet18_npz); by default the
-    conventional artifact (utils.weights.find_resnet18_npz) is used when
-    present.
+    reference image.  ``pretrained`` loads a converted torchvision .npz
+    backbone for ANY of the three trunks (models.zoo.load_{resnet18,
+    efficientnet,vit}_npz); by default the conventional artifact
+    (utils.weights.find_zoo_npz) is used when present.  ``variant`` selects
+    the efficientnet width/depth scale (b0/b3, model_architectures.py:83).
+
+    Like VGGTrainer, the backbone input is ImageNet-normalized by default
+    (what the torchvision trunks were trained on; the enhancement composite
+    and the loss still consume the raw [0,1] images) —
+    ``imagenet_normalize=False`` opts out.
     """
 
     def __init__(self, model_type: str = "resnet", lr: float = 1e-4,
                  seed: int = 0, mesh=None, image_size: int = 224,
                  stretch_mode: str = "quantile",
-                 pretrained: str | None = "auto"):
+                 pretrained: str | None = "auto", variant: str = "b0",
+                 imagenet_normalize: bool = True):
         super().__init__()
         from underwater_image_enhancement_tpu.models import zoo
 
         self.model_type = model_type
-        self.model = zoo.create_model(model_type)
+        self.variant = variant
+        self.imagenet_normalize = imagenet_normalize
+        kwargs = {"variant": variant} if model_type == "efficientnet" else {}
+        self.model = zoo.create_model(model_type, **kwargs)
         rng = jax.random.PRNGKey(seed)
         variables = self.model.init(
             rng, jnp.zeros((1, image_size, image_size, 3)))
         if pretrained == "auto":
             from underwater_image_enhancement_tpu.utils.weights import (
-                find_resnet18_npz,
+                find_zoo_npz,
             )
 
-            pretrained = find_resnet18_npz() if model_type == "resnet" else None
+            pretrained = (find_zoo_npz(model_type, variant)
+                          if model_type in ("resnet", "efficientnet", "vit")
+                          else None)
         if pretrained is not None:
-            if model_type != "resnet":
+            if model_type == "resnet":
+                variables = zoo.load_resnet18_npz(variables, pretrained)
+            elif model_type == "efficientnet":
+                variables = zoo.load_efficientnet_npz(variables, pretrained,
+                                                      variant)
+            elif model_type == "vit":
+                variables = zoo.load_vit_npz(variables, pretrained)
+            else:
                 raise ValueError(
-                    "pretrained import is implemented for the resnet18 "
-                    "backbone (model_architectures.py:13)")
-            variables = zoo.load_resnet18_npz(variables, pretrained)
+                    "pretrained import exists for the resnet18/efficientnet/"
+                    "vit backbones (model_architectures.py:13,83,131)")
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
@@ -314,30 +332,34 @@ class ZooTrainer(_BaseTrainer):
         self._step = self._make_step()
         self._eval = self._make_eval()
 
+    def _backbone_input(self, imgs):
+        """ImageNet-normalize the backbone branch (identical to
+        models.predictor.ZooPredictor); raw [0,1] when opted out."""
+        if not self.imagenet_normalize:
+            return imgs
+        from underwater_image_enhancement_tpu.models.vgg import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        return (imgs - IMAGENET_MEAN) / IMAGENET_STD
+
     def _apply_enhance(self, imgs, pred):
-        """Differentiable composite over the six predicted params: percentile
-        stretch -> omega dehaze -> use_gamma-gated img**gamma (the
-        vgg-flavor op order, vgg_16_UIE.py:32-55, with the mlp-flavor soft
-        gamma gate, deep_learning_parameters.py:43-56).  guided_radius has
-        no differentiable consumer (the reference never trains it either)."""
-        flat = {k: v.reshape(-1) for k, v in pred.items()}
-        out = diff_enhance.color_stretch_batch(
-            imgs, flat["L_low"], flat["L_high"], self._stretch_mode)
-        out = diff_enhance.dehaze_batch(out, flat["omega"])
-        g = flat["gamma"].reshape(-1, 1, 1, 1)
-        use_g = flat["use_gamma"].reshape(-1, 1, 1, 1)
-        out = use_g * jnp.power(out + 1e-8, g) + (1.0 - use_g) * out
-        return jnp.clip(out, 0.0, 1.0)
+        """The six-param differentiable composite
+        (models.diff_enhance.enhance_zoo)."""
+        return diff_enhance.enhance_zoo(imgs, pred,
+                                        stretch_mode=self._stretch_mode)
 
     def _loss_fn(self, params, batch_stats, imgs, refs, rng, train):
         variables = {"params": params, "batch_stats": batch_stats}
+        x = self._backbone_input(imgs)
         if train:
             pred, mutated = self.model.apply(
-                variables, imgs, train=True, rngs={"dropout": rng},
+                variables, x, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
             new_stats = mutated["batch_stats"]
         else:
-            pred = self.model.apply(variables, imgs, train=False)
+            pred = self.model.apply(variables, x, train=False)
             new_stats = batch_stats
         enhanced = self._apply_enhance(imgs, pred)
         total, _ = losses.reference_loss(enhanced, refs)
@@ -387,7 +409,7 @@ class ZooTrainer(_BaseTrainer):
     def predict_params(self, imgs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats},
-            imgs, train=False)
+            self._backbone_input(imgs), train=False)
 
     def save(self, path: str) -> None:
         save_checkpoint(path, {

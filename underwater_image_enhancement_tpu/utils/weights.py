@@ -50,3 +50,21 @@ def find_vgg16_npz() -> Optional[str]:
 def find_resnet18_npz() -> Optional[str]:
     """The converted torchvision resnet18 artifact (models.zoo loader)."""
     return find_weights("resnet18")
+
+
+def zoo_artifact_name(model_type: str, variant: str = "b0") -> str:
+    """The conventional artifact stem for a zoo backbone — matches
+    tools/fetch_zoo_npz.py's output names (resnet18.npz,
+    efficientnet_{b0,b3}.npz, vit_b_16.npz)."""
+    if model_type == "resnet":
+        return "resnet18"
+    if model_type == "efficientnet":
+        return f"efficientnet_{variant}"
+    if model_type == "vit":
+        return "vit_b_16"
+    raise ValueError(f"no pretrained artifact convention for: {model_type}")
+
+
+def find_zoo_npz(model_type: str, variant: str = "b0") -> Optional[str]:
+    """Conventional artifact path for a zoo backbone, or None."""
+    return find_weights(zoo_artifact_name(model_type, variant))
