@@ -1,9 +1,12 @@
 """CPU oracles for metrics: the reference NR-IQA (cv2/numpy) and UIQM/UCIQE.
 
 The NR-IQA functions reproduce quality_assessment.py:14-286 verbatim
-semantics (same cv2 conversions, same normalizations).  UIQM/UCIQE mirror
-metrics/uiqm.py's definitions in float64 (they have no reference
-implementation; BASELINE.json names them as parity metrics).
+semantics (same cv2 conversions, same normalizations).  The UIQM/UCIQE
+oracles are INDEPENDENTLY re-derived from the published papers (see the
+section comment below for citations and the derivation ground rules) — they
+deliberately share no structure with metrics/uiqm.py, which they gate
+(UIQM/UCIQE have no reference implementation; BASELINE.json names them as
+parity metrics).
 """
 
 from __future__ import annotations
