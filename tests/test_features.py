@@ -62,3 +62,22 @@ def test_batch(underwater_img):
     assert got.shape == (2, 79)
     single = np.asarray(full.extract_all_features(b[1]))
     np.testing.assert_allclose(got[1], single, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_tier_features_close_to_exact(underwater_img):
+    """The throughput-tier 79-dim vector (arithmetic LAB ±2 LSB, default-
+    precision DCT) stays within 1% relative (or 0.02 absolute for
+    near-zero dims) of the exact tier — classifier-grade agreement."""
+    import jax.numpy as jnp
+
+    from underwater_image_enhancement_tpu.features.full import (
+        extract_all_features,
+    )
+
+    exact = np.asarray(extract_all_features(jnp.asarray(underwater_img)))
+    fast = np.asarray(extract_all_features(jnp.asarray(underwater_img),
+                                           fast=True))
+    rel = np.abs(fast - exact) / np.maximum(np.abs(exact), 1e-6)
+    absd = np.abs(fast - exact)
+    ok = (rel < 0.01) | (absd < 0.02)
+    assert ok.all(), np.argwhere(~ok).ravel()

@@ -77,3 +77,14 @@ def test_ranking_sanity(imgs):
     t_nat, _ = quality.comprehensive_assessment(imgs["natural"])
     t_flat, _ = quality.comprehensive_assessment(imgs["flat"])
     assert float(t_nat) > float(t_flat)
+
+
+def test_fast_tier_scores_close_to_exact(imgs):
+    """The throughput-tier totals (arithmetic brightness L) stay within 0.5
+    of the exact totals — far inside the fast-label near-tie budget."""
+    for name, img in imgs.items():
+        exact = np.asarray(quality.comprehensive_batch(
+            img[None], DEFAULT_QUALITY_WEIGHTS))
+        fast = np.asarray(quality.comprehensive_batch(
+            img[None], DEFAULT_QUALITY_WEIGHTS, fast=True))
+        assert abs(float(exact[0]) - float(fast[0])) < 0.5, (name, exact, fast)

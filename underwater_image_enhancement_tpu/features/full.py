@@ -82,9 +82,9 @@ def _texture_features(gray_u8):
     return feats
 
 
-def _frequency_features(gray255_f):
+def _frequency_features(gray255_f, fast: bool = False):
     """feature_extraction.py:122-158 (5 dims).  gray255_f: u8 gray as f32."""
-    d = dct2(gray255_f)
+    d = dct2(gray255_f, precision="default" if fast else "highest")
     H, W = d.shape
     total = jnp.sum(d**2)
     low = jnp.sum(d[: H // 4, : W // 4] ** 2) / total
@@ -133,11 +133,22 @@ def _quality_features(gray_unit_f, gray_u8, hsv_unit_s):
     ]
 
 
-@jax.jit
-def extract_all_features(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 3) float [0,1] -> (79,) float32 feature vector."""
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("fast",))
+def extract_all_features(img: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
+    """(H, W, 3) float [0,1] -> (79,) float32 feature vector.
+
+    fast=True is the throughput labeling tier's variant: the LAB stats use
+    the fused arithmetic conversion (±2 LSB of the exact integer pipeline —
+    no table-gather kernels) and the DCT runs at default (bf16-input) MXU
+    precision.  Classifier features only — the exact tier stays default."""
     u8 = cs.quantize_u8(img)
-    lab_f = cs.rgb_to_lab_u8_exact(u8).astype(jnp.float32)
+    if fast:
+        lab_f = cs.rgb_to_lab_u8_arith(u8)
+    else:
+        lab_f = cs.rgb_to_lab_u8_exact(u8).astype(jnp.float32)
     hsv_u8 = cs.rgb_to_hsv_u8(u8)
     hsv_f = hsv_u8.astype(jnp.float32)
     gray_u8 = cs.rgb_to_gray_u8(u8)
@@ -148,14 +159,14 @@ def extract_all_features(img: jnp.ndarray) -> jnp.ndarray:
     feats = (
         _color_features(img, lab_f, hsv_f)
         + _texture_features(gray_u8)
-        + _frequency_features(gray255)
+        + _frequency_features(gray255, fast)
         + _edge_features(gray_unit, gray_u8)
         + _quality_features(gray_unit, gray_u8, hsv_unit_s)
     )
     return jnp.stack(feats).astype(jnp.float32)
 
 
-@jax.jit
-def extract_batch(imgs: jnp.ndarray) -> jnp.ndarray:
+@_partial(jax.jit, static_argnames=("fast",))
+def extract_batch(imgs: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, 79)."""
-    return jax.vmap(extract_all_features)(imgs)
+    return jax.vmap(lambda im: extract_all_features(im, fast))(imgs)

@@ -41,7 +41,8 @@ from underwater_image_enhancement_tpu.ops.histeq import shannon_entropy_u8 as _e
 
 
 def assess_all(img: jnp.ndarray,
-               needed: frozenset | None = None) -> Dict[str, jnp.ndarray]:
+               needed: frozenset | None = None,
+               fast: bool = False) -> Dict[str, jnp.ndarray]:
     """Metric scores for one (H, W, 3) image in [0,1].
 
     needed=None computes all 8; otherwise only the named metrics (and
@@ -49,7 +50,13 @@ def assess_all(img: jnp.ndarray,
     metrics in config.py's 6-weight dict cost full-frame reductions the
     weighted total then multiplies by 0, so the totals-only callers skip
     them at trace time (bit-identical totals: each metric is finite, so
-    the dropped terms are exact zeros)."""
+    the dropped terms are exact zeros).
+
+    fast=True (the throughput labeling tier) computes the brightness
+    metric's L with the fused arithmetic conversion instead of the exact
+    table kernel: only mean(L) is consumed, so the whole brightness path
+    fuses into one reduction (±1 LSB per pixel ⇒ score delta well under
+    the fast-tier near-tie budget)."""
     k = METRIC_NAMES if needed is None else needed
     u8 = cs.quantize_u8(img)
     gray_u8 = cs.rgb_to_gray_u8(u8)
@@ -74,9 +81,13 @@ def assess_all(img: jnp.ndarray,
     if "saturation" in k:
         scores["saturation"] = jnp.clip(jnp.mean(sat) * 100.0, 0.0, 100.0)
     # brightness (:111-123) — L-only tier: one CBRT lookup and one output
-    # plane instead of three (bit-identical to the full conversion)
+    # plane instead of three (bit-identical to the full conversion);
+    # fast tier: arithmetic L fused into the mean (no gathers, no plane)
     if "brightness" in k:
-        lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
+        if fast:
+            lab_l = cs.rgb_u8_to_lab_l_arith(u8)
+        else:
+            lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
         dev = jnp.abs(jnp.mean(lab_l) - 128.0)
         scores["brightness"] = 100.0 - jnp.clip(dev / 128.0 * 100.0, 0.0, 100.0)
     # edge density (:136-147)
@@ -133,7 +144,8 @@ def comprehensive_assessment(
 
 
 def comprehensive_batch(imgs: jnp.ndarray,
-                        weights: Dict[str, float] | None = None) -> jnp.ndarray:
+                        weights: Dict[str, float] | None = None,
+                        fast: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) -> (B,) weighted totals, one compiled program."""
     from underwater_image_enhancement_tpu.utils.config import FULL_QUALITY_WEIGHTS
 
@@ -141,7 +153,7 @@ def comprehensive_batch(imgs: jnp.ndarray,
     needed = frozenset(k for k in METRIC_NAMES if w.get(k, 0) != 0)
 
     def total_one(img):
-        s = assess_all(img, needed=needed)
+        s = assess_all(img, needed=needed, fast=fast)
         # left-to-right in METRIC_NAMES order; dropped terms are exact 0s
         total = jnp.float32(0.0)
         for k in METRIC_NAMES:

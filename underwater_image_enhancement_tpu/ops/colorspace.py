@@ -159,6 +159,35 @@ def rgb_to_lab_u8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
 
 
+def rgb_to_lab_u8_arith(rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """rgb_to_lab_u8's float math kept in f32 (no int cast): pure
+    elementwise VPU arithmetic that XLA fuses straight into downstream
+    reductions — no table gathers, no materialized int planes.  Within
+    ~2 LSB of the exact integer pipeline; the throughput labeling tier's
+    LAB for feature statistics."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    lin = _srgb_to_linear(rgb)
+    xyz = jnp.einsum("...c,kc->...k", lin, _RGB2XYZ) / _WHITE
+    fxyz = _lab_f(xyz)
+    L = 116.0 * fxyz[..., 1] - 16.0
+    a = 500.0 * (fxyz[..., 0] - fxyz[..., 1])
+    b = 200.0 * (fxyz[..., 1] - fxyz[..., 2])
+    out = jnp.stack([L * 255.0 / 100.0, a + 128.0, b + 128.0], axis=-1)
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
+def rgb_u8_to_lab_l_arith(rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """Arithmetic L plane (u8 scale, f32, unquantized): one sRGB
+    linearization + luma dot + cbrt, all elementwise — the throughput
+    tier's brightness-metric input (only mean(L) is consumed, so the
+    whole computation fuses into the reduction with zero extra HBM
+    traffic; within ±1 LSB of the exact table pipeline per pixel)."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    lin = _srgb_to_linear(rgb)
+    y = jnp.einsum("...c,c->...", lin, _RGB2XYZ[1]) / _WHITE[1]
+    return (116.0 * _lab_f(y) - 16.0) * 255.0 / 100.0
+
+
 def lab_to_rgb_u8(lab_u8: jnp.ndarray) -> jnp.ndarray:
     """cv2.COLOR_LAB2RGB on uint8 (inverse of rgb_to_lab_u8)."""
     lab = lab_u8.astype(jnp.float32)

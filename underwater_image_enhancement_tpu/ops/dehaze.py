@@ -122,6 +122,40 @@ def estimate_transmission_planes(planes, A, omega, r: int, eps: float,
     return jnp.clip(t_refined, 0.1, 1.0)
 
 
+def estimate_transmission_planes_shared(planes, A, omega, r: int, eps: float,
+                                        guided_subsample: int = 4):
+    """Throughput-tier transmission sharing ONE guided filter across every
+    omega (and, by giving callers one fixed ``r``, across strategies).
+
+    The guided filter is LINEAR in its filtered input p for a fixed guide
+    (a = cov(I,p)/(var+eps) and b = mean_p - a·mean_I are linear in p, and
+    gf(I, const) = const), so for the enhancement_strategies.py flavor —
+    which does NOT clip before refinement (:208-234) —
+
+        gf(I, 1 - omega·dark) = 1 - omega·gf(I, dark)      (exactly).
+
+    Refining ``dark`` once therefore serves every omega; when the three
+    dehaze strategies inside one program also share the refine radius (the
+    fast tier's approximation — radii 15/20/10 collapse to one), the whole
+    expression is identical across strategies and XLA CSE runs the guided
+    filter ONCE for all three.  Fast-tier only: the exact tier keeps the
+    reference's per-strategy radii."""
+    from underwater_image_enhancement_tpu.ops.colorspace import (
+        gray_u8_planes,
+        quantize_u8,
+        u8_to_unit,
+    )
+    from underwater_image_enhancement_tpu.ops.guided import guided_filter_fast
+
+    dark = jnp.minimum(
+        jnp.minimum(planes[0] / (A[0] + 1e-10), planes[1] / (A[1] + 1e-10)),
+        planes[2] / (A[2] + 1e-10),
+    )
+    gray = u8_to_unit(gray_u8_planes(*(quantize_u8(p) for p in planes)))
+    dark_refined = guided_filter_fast(gray, dark, r, eps, guided_subsample)
+    return jnp.clip(1.0 - omega * dark_refined, 0.1, 1.0)
+
+
 def recover_planes(planes, t, A):
     """Channel-first J = (I - A)/t + A per plane, clipped."""
     return tuple(

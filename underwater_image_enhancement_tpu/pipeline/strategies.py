@@ -49,12 +49,17 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
     Phase-1 dataset, so their argmax must match — and percentiles are the
     exact O(n) radix select.  method="hist-fast" (throughput tier, mirrors
     pipeline/six.py): canonical global-edge-map descent (edge_iters=4),
-    Fast Guided Filter (row subsample 4), histogram percentiles."""
+    ONE shared Fast Guided Filter (row subsample 4, fixed radius 15: the
+    refine is linear in omega, so the three dehaze strategies' transmissions
+    all derive from one refined dark channel that XLA CSE dedupes across
+    strategies — dehaze.estimate_transmission_planes_shared), histogram
+    percentiles."""
     p = _split(img)
     if method == "hist-fast":
         A = quadtree_airlight_planes(p, edge_iters=4)
-        t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius,
-                                                0.001, guided_subsample=4)
+        t = dehaze.estimate_transmission_planes_shared(p, A, omega, 15,
+                                                       0.001,
+                                                       guided_subsample=4)
     else:
         A = quadtree_airlight_exact_planes(p)
         t = dehaze.estimate_transmission_planes(p, A, omega, guided_radius,

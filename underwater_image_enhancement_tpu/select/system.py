@@ -63,10 +63,14 @@ def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True,
     # score each strategy's batch directly — identical per-image math to
     # scoring one stacked (B*S, ...) batch, without materializing the
     # (B, S, H, W, 3) stack (its concatenate+copy+gather cost ~1 ms/frame
-    # @1080p x batch 4 on v5e in the device trace, tools/prof_label_trace)
+    # @1080p x batch 4 on v5e in the device trace, tools/prof_label_trace).
+    # fast=True also swaps the brightness metric's L and the feature LAB/DCT
+    # onto the arithmetic tiers (metrics.quality.assess_all,
+    # features.full.extract_all_features docstrings)
     scores = jnp.stack(
-        [comprehensive_batch(o, dict(weights)) for o in outs], axis=1)
-    feats = extract_batch(imgs)
+        [comprehensive_batch(o, dict(weights), fast=fast) for o in outs],
+        axis=1)
+    feats = extract_batch(imgs, fast=fast)
     best = jnp.argmax(scores, axis=1)
     if return_all:
         return feats, scores, best, jnp.stack(outs, axis=1)
