@@ -246,3 +246,18 @@ def test_clahe_pallas_impl_bit_identical(rng):
         a = np.asarray(clahe_u8(x, 2.0, tiles[0], tiles[1], impl="pallas"))
         b = np.asarray(clahe_u8(x, 2.0, tiles[0], tiles[1], impl="xla"))
         np.testing.assert_array_equal(a, b)
+
+
+def test_sat_rows_vmap_folds_batch(rng):
+    """The custom_vmap rule (batch -> plane-axis fold) is bit-identical to
+    mapping the kernel per example — the vmapped fast airlight path keeps
+    the Pallas scan instead of falling back to XLA cumsum."""
+    import jax
+
+    from underwater_image_enhancement_tpu.ops.pallas_kernels import sat_rows
+
+    x = rng.random((4, 3, 60, 130)).astype(np.float32)
+    got = np.asarray(jax.vmap(sat_rows)(jnp.asarray(x)))
+    for b in range(4):
+        want = np.asarray(sat_rows(jnp.asarray(x[b])))
+        np.testing.assert_array_equal(got[b], want)

@@ -118,16 +118,53 @@ print("TPU_HW_OK")
 """
 
 
-def _run_on_hw(script: str):
-    if not os.path.isdir(_AXON_SITE):
-        pytest.skip("no axon TPU plugin on this machine")
+_PREFLIGHT = r"""
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != "cpu"
+assert float(jnp.sum(jnp.ones((8, 128)) * 2.0)) == 2048.0
+print("TPU_HW_OK")
+"""
+
+_hw_alive_cache: dict = {}
+
+
+def _hw_env():
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = f"{repo}:{_AXON_SITE}"
-    proc = subprocess.run(
-        [sys.executable, "-c", script], env=env, cwd="/tmp",
-        capture_output=True, text=True, timeout=900,
-    )
+    return env
+
+
+def _hw_alive() -> bool:
+    """One cheap tunnel liveness probe per session: device enumeration can
+    succeed while EXECUTION hangs after a remote worker crash, which would
+    otherwise wedge each gate for its full 900 s subprocess timeout."""
+    if "alive" not in _hw_alive_cache:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PREFLIGHT], env=_hw_env(),
+                cwd="/tmp", capture_output=True, text=True, timeout=240,
+            )
+            _hw_alive_cache["alive"] = (proc.returncode == 0
+                                        and "TPU_HW_OK" in proc.stdout)
+        except subprocess.TimeoutExpired:
+            _hw_alive_cache["alive"] = False
+    return _hw_alive_cache["alive"]
+
+
+def _run_on_hw(script: str):
+    if not os.path.isdir(_AXON_SITE):
+        pytest.skip("no axon TPU plugin on this machine")
+    if not _hw_alive():
+        pytest.skip("TPU tunnel unresponsive (worker down?) — hw gate "
+                    "skipped, not failed")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", script], env=_hw_env(), cwd="/tmp",
+            capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU hardware run exceeded 900 s (tunnel hung mid-run)")
     if proc.returncode != 0 and "Backend 'axon'" in proc.stderr:
         pytest.skip("axon TPU backend not reachable")
     assert proc.returncode == 0, proc.stderr[-3000:]

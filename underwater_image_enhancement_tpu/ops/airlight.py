@@ -39,15 +39,15 @@ def _sat_rows(x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     queries 3 row indices, so the column prefix runs on a (P, 3, W) strip
     extracted per level (_corner_grid) — ~30x cheaper than a 2-D SAT.
 
-    fast=True routes unbatched TPU stacks through the one-VMEM-pass Pallas
-    scan (pallas_kernels.sat_rows, ~4x less HBM traffic than the XLA
-    cumsum).  Its Hillis-Steele f32 association differs from XLA's in the
-    last bits, which can flip near-tie quadtree descents — so only the
+    fast=True routes TPU stacks through the one-VMEM-pass Pallas scan
+    (pallas_kernels.sat_rows, ~4x less HBM traffic than the XLA cumsum;
+    vmap-safe — its custom_vmap rule folds the batch into the plane axis).
+    Its Hillis-Steele f32 association differs from XLA's in the last
+    bits, which can flip near-tie quadtree descents — so only the
     throughput path opts in; the parity paths keep XLA's association."""
     from underwater_image_enhancement_tpu.ops import pallas_kernels as pk
 
-    if (fast and x.ndim == 3 and jax.default_backend() == "tpu"
-            and not pk.is_batched(x)):
+    if fast and x.ndim == 3 and jax.default_backend() == "tpu":
         return pk.sat_rows(x)
     c = jnp.cumsum(x, axis=-2)
     return jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)])

@@ -263,13 +263,31 @@ def _make_cumsum_rows_kernel(H: int):
     return kernel
 
 
+@jax.custom_batching.custom_vmap
 def sat_rows(x: jnp.ndarray) -> jnp.ndarray:
     """Row-prefix table with a leading zero row: (P, H, W) f32 ->
     (P, H+1, W), one VMEM pass per (plane, 128-lane) column block.
 
     XLA's log-doubling cumsum re-reads the full stack ~log2(H) times from
     HBM (~0.7 ms for the quadtree's (7, 1080, 1920) stats); here each
-    block loads once, scans in VMEM, stores once (~0.15 ms)."""
+    block loads once, scans in VMEM, stores once (~0.15 ms).
+
+    vmap-safe: the custom_vmap rule folds the batch dim into the plane
+    axis (the grid is independent per plane), so the vmapped quadtree
+    airlight keeps this kernel instead of falling back to XLA cumsum."""
+    return _sat_rows_call(x)
+
+
+def _sat_rows_vmap_rule(axis_size, in_batched, x):
+    B, P, H, W = x.shape
+    out = _sat_rows_call(x.reshape(B * P, H, W)).reshape(B, P, H + 1, W)
+    return out, True
+
+
+sat_rows.def_vmap(_sat_rows_vmap_rule)
+
+
+def _sat_rows_call(x: jnp.ndarray) -> jnp.ndarray:
     P, H, W = x.shape
     Wp = -(-W // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W))) if Wp != W else x
