@@ -23,8 +23,12 @@ def main() -> None:
 
     H, W = 1080, 1920
     N = 8           # frames per inner batch
-    K = 8           # chained repetitions per timed program, so the timed
-                    # work dwarfs tunnel RTT jitter
+    K = 64          # chained repetitions per timed program: the timed work
+                    # (~N*K*0.3 ms ≈ 150 ms) must DWARF the tunnel RTT
+                    # (1-10 ms, load-dependent).  K=8 made the measurement
+                    # RTT-dominated — the round-4 3.0k-vs-4.0k fps
+                    # discrepancy between the two harnesses was exactly
+                    # this noise (VERDICT r4 #2).
     REPS = 5        # timed repetitions (median reported)
 
     dev = jax.devices()[0]

@@ -82,7 +82,7 @@ def _scale_k(k, h, w):
     return max(k, int(round(k * (1080 * 1920) / (h * w))))
 
 
-def bench_enhance(h, w, rtt, n=8, k=8, reps=5):
+def bench_enhance(h, w, rtt, n=8, k=64, reps=5):
     k = _scale_k(k, h, w)
     import jax
     import jax.numpy as jnp
@@ -103,7 +103,7 @@ def bench_enhance(h, w, rtt, n=8, k=8, reps=5):
     return _timed(run, frames, reps, rtt) / (n * k)
 
 
-def bench_six(h, w, rtt, batch=1, k=4, reps=5, fast=True):
+def bench_six(h, w, rtt, batch=1, k=16, reps=5, fast=True):
     """Honest harness: ALL SIX outputs are the fori_loop carry, so every
     iteration must fully materialize each strategy's full-resolution frame
     (feeding back only one output would let XLA skip the non-probed pixels
@@ -141,7 +141,7 @@ def bench_six(h, w, rtt, batch=1, k=4, reps=5, fast=True):
     return _timed(run, frames, reps, rtt) / (batch * (k + 1))
 
 
-def bench_label(h, w, rtt, batch=4, k=2, reps=5, fast=False):
+def bench_label(h, w, rtt, batch=4, k=4, reps=5, fast=False):
     """fast=True benches the throughput labeling tier (cli build-dataset
     --fast: canonical airlight descent, fast guided filter, histogram
     percentiles); the default is the exact parity tier."""

@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         + " --xla_force_host_platform_device_count=8"
         + " --xla_backend_optimization_level=0"  # no FMA contraction: keeps
         # the fp32 op-by-op semantics the OpenCV-parity kernels specify
+        # collectives: 8 virtual devices TIMESHARE this host's cores, so on
+        # a big frame (the 4K spatial tests) the slowest "device" can reach
+        # a psum long after the first — XLA:CPU's default 40 s rendezvous
+        # abort kills the process mid-test without these
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
     ).strip()
 
 import jax  # noqa: E402
@@ -36,8 +42,23 @@ if not _USE_TPU:
     assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 # Persistent compilation cache: the suite is compile-dominated; repeated runs
-# reuse compiled programs across processes.
-jax.config.update("jax_compilation_cache_dir", "/tmp/uie_jax_cache")
+# reuse compiled programs across processes.  The directory is keyed to this
+# HOST's CPU feature set (+ jaxlib version): XLA:CPU cache entries are AOT
+# machine code, and deserializing one compiled under a different feature set
+# is exactly the "could lead to SIGILL" hazard cpu_aot_loader warns about —
+# a shared /tmp dir can outlive the container host it was written on.
+import hashlib  # noqa: E402
+
+import jaxlib  # noqa: E402
+
+try:
+    _flags = next(line for line in open("/proc/cpuinfo")
+                  if line.startswith("flags"))
+except (OSError, StopIteration):  # pragma: no cover - non-Linux fallback
+    _flags = ""
+_host = hashlib.sha1(
+    (_flags + jaxlib.__version__).encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/uie_jax_cache_{_host}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

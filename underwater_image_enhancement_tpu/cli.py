@@ -51,20 +51,53 @@ def _cmd_enhance(args) -> None:
             params = pred.process_single_image(args.input, args.output)
             print("predicted params:", {k: round(v, 4) for k, v in params.items()})
         return
-    # no model: fixed-parameter enhance (the DEFAULT_PARAMS path)
-    params = {"omega": args.omega, "gamma": args.gamma,
-              "L_low": args.l_low, "L_high": args.l_high}
-    files = uio.collect_images(args.input) if inp.is_dir() else [inp]
+    # no model: fixed-parameter enhance (the DEFAULT_PARAMS path).
+    # Folder inputs stream same-shape batches through enhance_batch, sharded
+    # over every visible device (the reference loops one frame at a time on
+    # the host, use_trained_model.py:145-164); single-file inputs keep the
+    # one-image enhance() dispatch.
+    from underwater_image_enhancement_tpu.parallel.mesh import (
+        default_mesh,
+        run_data_parallel,
+    )
+    from underwater_image_enhancement_tpu.pipeline.enhance import enhance_batch
+
+    if not inp.is_dir():
+        img = uio.imread_unit(str(inp))
+        if img is None:
+            print(f"skip unreadable image: {inp}")
+            return
+        params = {"omega": args.omega, "gamma": args.gamma,
+                  "L_low": args.l_low, "L_high": args.l_high}
+        uio.imwrite_unit(str(args.output), np.asarray(enhance(jnp.asarray(img),
+                                                              params)))
+        print(f"done -> {args.output}")
+        return
+
+    mesh = default_mesh(args.devices)
+    files = uio.collect_images(args.input)
     outdir = Path(args.output)
+
+    def run(batch):
+        # 'hist' is bit-equal to the sorted-index parity mode on the u8
+        # grid every decoded image lies on (tests/test_pipeline_api.py)
+        return enhance_batch(batch, args.l_low, args.l_high, args.omega,
+                             args.gamma, stretch_mode="hist")
+
+    n = 0
     with uio.AsyncWriter() as writer:
-        for p, img in uio.decode_iter(
-                files, log=lambda m: print(f"skip {m.replace('warning: ', '')}")):
-            out = np.asarray(enhance(jnp.asarray(img), params))
-            dst = outdir / f"{p.stem}_enhanced.png" if inp.is_dir() else outdir
-            writer.write(str(dst), out)
+        for chunk in _stream_shape_batches(
+                files, args.batch_size,
+                log=lambda m: print(f"skip {m.replace('warning: ', '')}")):
+            batch = np.stack([im for _, im in chunk])
+            outs = np.asarray(run_data_parallel(run, batch, mesh))
+            for j, (p, _) in enumerate(chunk):
+                writer.write(str(outdir / f"{p.stem}_enhanced.png"), outs[j])
+                n += 1
     for path, err in writer.close():
+        n -= 1
         print(f"  write failed: {Path(path).name} - {err[:50]}")
-    print(f"done -> {args.output}")
+    print(f"done ({n} images) -> {args.output}")
 
 
 def _cmd_six(args) -> None:
@@ -207,23 +240,36 @@ def _cmd_six(args) -> None:
 
 
 def _cmd_auto(args) -> None:
-    import jax.numpy as jnp
-
+    from underwater_image_enhancement_tpu.parallel.mesh import (
+        default_mesh,
+        run_data_parallel,
+    )
     from underwater_image_enhancement_tpu.pipeline.enhance import (
         CONFIG_ORDER,
         auto_enhance_batch,
     )
     from underwater_image_enhancement_tpu.utils import io as uio
 
+    # same-shape frames batch through ONE fused all-strategies+score+select
+    # program, sharded over every visible device (the reference scores one
+    # frame x 5 strategies at a time on the host, main.py:116-146)
+    mesh = default_mesh(args.devices)
     files = uio.collect_images(args.input)
     outdir = Path(args.output)
     with uio.AsyncWriter() as writer:
-        for p, img in uio.decode_iter(files, log=lambda m: None):
-            best_imgs, best, scores = auto_enhance_batch(jnp.asarray(img)[None])
-            name = CONFIG_ORDER[int(best[0])]
-            writer.write(str(outdir / f"{p.stem}_{name}.png"),
-                         np.asarray(best_imgs[0]))
-            print(f"{p.name}: {name} ({float(scores[0, int(best[0])]):.2f})")
+        for chunk in _stream_shape_batches(files, args.batch_size,
+                                           log=lambda m: None):
+            batch = np.stack([im for _, im in chunk])
+            best_imgs, best, scores = run_data_parallel(
+                auto_enhance_batch, batch, mesh)
+            best_imgs, best, scores = (np.asarray(best_imgs),
+                                       np.asarray(best), np.asarray(scores))
+            for j, (p, _) in enumerate(chunk):
+                name = CONFIG_ORDER[int(best[j])]
+                writer.write(str(outdir / f"{p.stem}_{name}.png"),
+                             best_imgs[j])
+                print(f"{p.name}: {name} "
+                      f"({float(scores[j, int(best[j])]):.2f})")
     for path, err in writer.close():
         print(f"  write failed: {Path(path).name} - {err[:50]}")
 
@@ -233,7 +279,9 @@ def _cmd_build_dataset(args) -> None:
     from underwater_image_enhancement_tpu.utils.config import Config
 
     cfg = Config(image_folder=args.input, output_folder=args.output,
-                 fast_label=bool(getattr(args, "fast", False)))
+                 fast_label=bool(getattr(args, "fast", False)),
+                 batch_size=int(getattr(args, "batch_size", 8) or 8),
+                 n_devices=getattr(args, "devices", None))
     sys_ = SelfSupervisedSystem(cfg)
     rows = sys_.build_dataset()
     print(f"labeled {len(rows)} images")
@@ -363,7 +411,9 @@ def _cmd_run(args) -> None:
     from underwater_image_enhancement_tpu.utils.config import Config
 
     cfg = Config(image_folder=args.input, output_folder=args.output,
-                 fast_label=bool(getattr(args, "fast", False)))
+                 fast_label=bool(getattr(args, "fast", False)),
+                 batch_size=int(getattr(args, "batch_size", 8) or 8),
+                 n_devices=getattr(args, "devices", None))
     sys_ = SelfSupervisedSystem(cfg)
     rows = sys_.build_dataset()
     if not rows:
@@ -459,6 +509,19 @@ def _cmd_predict(args) -> None:
         print(f"  {k:<24} {v:.3f}")
 
 
+def _cmd_validate(args) -> None:
+    """Parity validation over a folder (UIEB-readiness, VERDICT r4 #5):
+    strategy PSNR vs float64 oracles, UIQM/UCIQE before/after, Phase-1
+    winner distribution, optional classifier accuracy."""
+    from underwater_image_enhancement_tpu.validate import validate_folder
+
+    report = validate_folder(args.input, args.output,
+                             oracle_samples=args.oracle_samples,
+                             fast=args.fast, model=args.model,
+                             batch_size=args.batch_size)
+    print(json.dumps(report, indent=2))
+
+
 def _cmd_assess(args) -> None:
     import jax.numpy as jnp
 
@@ -506,6 +569,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma", type=float, default=1.2)
     p.add_argument("--l-low", type=float, default=10.0)
     p.add_argument("--l-high", type=float, default=90.0)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="frames per device dispatch (same-shape groups)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all visible; "
+                        "1 disables sharding)")
     p.set_defaults(fn=_cmd_enhance)
 
     p = sub.add_parser("six", help="run all six strategies per image")
@@ -523,6 +591,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("auto", help="best-of-5-strategies per image")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="frames per device dispatch (same-shape groups)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all visible; "
+                        "1 disables sharding)")
     p.set_defaults(fn=_cmd_auto)
 
     p = sub.add_parser("build-dataset", help="Phase 1 self-supervised labeling")
@@ -532,6 +605,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="throughput-tier strategies (canonical airlight "
                         "descent, fast guided filter, histogram "
                         "percentiles); near-tie winners may flip")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="frames per labeling dispatch (same-shape groups)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all visible; "
+                        "1 disables sharding)")
     p.set_defaults(fn=_cmd_build_dataset)
 
     p = sub.add_parser("train-selector", help="Phase 2 classifier training")
@@ -607,6 +685,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--fast", action="store_true",
                    help="throughput-tier Phase-1 labeling (see build-dataset)")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="frames per labeling dispatch (same-shape groups)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all visible; "
+                        "1 disables sharding)")
     p.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("convert-vgg",
@@ -624,6 +707,22 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("assess", help="quality scores for image(s)")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=_cmd_assess)
+
+    p = sub.add_parser("validate",
+                       help="parity report: oracle PSNR, UIQM/UCIQE "
+                            "before/after, winner distribution")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--oracle-samples", type=int, default=3,
+                   help="images run through the float64 CPU oracles")
+    p.add_argument("--fast", action="store_true",
+                   help="validate the throughput labeling tier instead of "
+                        "the exact parity tier")
+    p.add_argument("--model", default=None,
+                   help="trained_model.pkl: adds classifier accuracy vs "
+                        "the Phase-1 labels")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.set_defaults(fn=_cmd_validate)
     return ap
 
 

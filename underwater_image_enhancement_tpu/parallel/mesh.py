@@ -59,3 +59,43 @@ def replicate(tree, mesh: Optional[Mesh]):
         return tree
     s = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """The mesh the user-facing CLI commands run on: a 1-D data mesh over
+    all visible devices, or None when there is one device (or the caller
+    pins n_devices=1) — None means 'plain single-device dispatch'."""
+    n = len(jax.devices()) if n_devices is None else int(n_devices)
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
+def run_data_parallel(fn, batch, mesh: Optional[Mesh], *args, **kwargs):
+    """Run ``fn(batch, *args, **kwargs)`` with the leading (batch) dim
+    sharded over ``mesh``, padding the batch up to a multiple of the mesh
+    size (padded rows repeat the last frame — every program this wraps is
+    per-image, so padding changes nothing) and cropping every output leaf
+    back to the true batch size.
+
+    Batches SMALLER than the mesh dispatch plain (sharding them would pad
+    more than it parallelizes — e.g. a 3-image trailing chunk on an
+    8-device mesh would run 8 images to produce 3); batches >= the mesh
+    size pad at most mesh.size - 1 rows.  With mesh=None this is exactly
+    ``fn(batch, ...)``: the per-image math is identical either way, so
+    multi-device runs produce byte-identical outputs to single-device ones
+    (gated in tests/test_cli_dp.py)."""
+    import jax.numpy as jnp
+
+    batch = jnp.asarray(batch)
+    if mesh is None or mesh.size <= 1 or batch.shape[0] < mesh.size:
+        return fn(batch, *args, **kwargs)
+    b = batch.shape[0]
+    pad = (-b) % mesh.size
+    if pad:
+        batch = jnp.concatenate(
+            [batch, jnp.broadcast_to(batch[-1:], (pad,) + batch.shape[1:])])
+    out = fn(shard_batch(batch, mesh), *args, **kwargs)
+    if pad:
+        out = jax.tree.map(lambda x: x[:b], out)
+    return out

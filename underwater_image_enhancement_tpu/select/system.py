@@ -126,6 +126,15 @@ class SelfSupervisedSystem:
 
     # ---------------- Phase 1 ----------------
 
+    def _mesh(self):
+        """The Phase-1 data mesh: all visible devices (config.n_devices
+        pins a count; config.data_parallel=False or 1 device -> None)."""
+        from underwater_image_enhancement_tpu.parallel.mesh import default_mesh
+
+        if not getattr(self.config, "data_parallel", True):
+            return None
+        return default_mesh(getattr(self.config, "n_devices", None))
+
     def _label_batch_np(self, imgs: np.ndarray, return_all: bool = True):
         """Run the fused Phase-1 program on a same-shape (B, H, W, 3) batch.
 
@@ -133,11 +142,19 @@ class SelfSupervisedSystem:
         stacks is (B,5,H,W,3) or the device-selected winners (B,H,W,3) when
         return_all=False.  ONE device dispatch for features + all 5
         strategies + weighted scoring (the hot loop of main.py:63-196; the
-        reference pays 1 + 5x2 full-image passes per image on the host)."""
+        reference pays 1 + 5x2 full-image passes per image on the host).
+        The batch is sharded over the data mesh when >1 device is visible —
+        every reduction inside the program is per-image, so multi-device
+        output is byte-identical to single-device (tests/test_cli_dp.py)."""
+        from underwater_image_enhancement_tpu.parallel.mesh import (
+            run_data_parallel,
+        )
+
         frozen = tuple(sorted(self.config.quality_weights.items()))
-        feats, scores, best, stacks = _label_batch(
-            jnp.asarray(imgs), frozen, return_all,
-            fast=bool(getattr(self.config, "fast_label", False)))
+        fast = bool(getattr(self.config, "fast_label", False))
+        feats, scores, best, stacks = run_data_parallel(
+            lambda b: _label_batch(b, frozen, return_all, fast=fast),
+            np.asarray(imgs), self._mesh())
         return (np.asarray(feats), np.asarray(scores),
                 np.asarray(best), np.asarray(stacks))
 
@@ -154,7 +171,8 @@ class SelfSupervisedSystem:
         )
         return winners[0], item
 
-    def build_dataset(self, log=print, batch_size: int = 8) -> List[Dict]:
+    def build_dataset(self, log=print,
+                      batch_size: Optional[int] = None) -> List[Dict]:
         """Phase 1 over config.image_folder; returns CSV rows
         (main.py:63-196).  Images are grouped by shape and processed in
         vmapped batches — one compiled program per distinct shape."""
@@ -181,7 +199,7 @@ class SelfSupervisedSystem:
             self._emit_chunk(chunk, feats, scores, best, stacks, names,
                              return_all, rows_by_path, items_by_path)
 
-        bs = max(1, batch_size)
+        bs = max(1, batch_size or self.config.batch_size)
         self._writer = uio.AsyncWriter()
         for path, img in uio.decode_iter(files, log=log, min_size=10):
             order.append(path)

@@ -97,9 +97,12 @@ def _depth_field(rng: np.random.Generator, h: int, w: int,
     return near + (far - near) * d01
 
 
-def synth_underwater_frame(rng: np.random.Generator, h: int, w: int,
-                           water: str) -> np.ndarray:
-    """One (h, w, 3) float32 frame in [0,1] on the u8 grid."""
+def synth_underwater_pair(rng: np.random.Generator, h: int, w: int,
+                          water: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(degraded, clean) pair: the Koschmieder-degraded frame and the clean
+    scene albedo it was rendered from — the fixture's stand-in for a UIEB
+    raw/reference pair (vgg_16_UIE.py:306-421's dataset contract).  Both
+    (h, w, 3) float32 in [0,1] on the u8 grid."""
     spec = WATER_TYPES[water]
     J = _scene_albedo(rng, h, w)
     near, far = (0.4, 3.0) if water == "clear" else (0.8, 8.0)
@@ -109,7 +112,17 @@ def synth_underwater_frame(rng: np.random.Generator, h: int, w: int,
     t = np.exp(-beta * d)  # (h, w, 3) per-channel transmission
     img = J * t + A * (1.0 - t)
     img = img + rng.normal(0.0, 0.004, img.shape).astype(np.float32)
-    return np.floor(np.clip(img, 0.0, 1.0) * 255.0).astype(np.float32) / 255.0
+
+    def q(x):
+        return np.floor(np.clip(x, 0.0, 1.0) * 255.0).astype(np.float32) / 255.0
+
+    return q(img), q(J)
+
+
+def synth_underwater_frame(rng: np.random.Generator, h: int, w: int,
+                           water: str) -> np.ndarray:
+    """One (h, w, 3) float32 frame in [0,1] on the u8 grid."""
+    return synth_underwater_pair(rng, h, w, water)[0]
 
 
 def synth_underwater_set(seed: int = 0, n: int = 8, h: int = 96,
@@ -121,3 +134,15 @@ def synth_underwater_set(seed: int = 0, n: int = 8, h: int = 96,
     names = [order[i % len(order)] for i in range(n)]
     frames = np.stack([synth_underwater_frame(rng, h, w, t) for t in names])
     return frames, names
+
+
+def synth_underwater_pair_set(seed: int = 0, n: int = 8, h: int = 96,
+                              w: int = 128):
+    """(degraded (n,h,w,3), clean (n,h,w,3), names): paired raw/reference
+    sets for trainer convergence proofs (VERDICT r4 #8)."""
+    rng = np.random.default_rng(seed)
+    order = ["blue", "green", "clear"]
+    names = [order[i % len(order)] for i in range(n)]
+    pairs = [synth_underwater_pair(rng, h, w, t) for t in names]
+    return (np.stack([p[0] for p in pairs]),
+            np.stack([p[1] for p in pairs]), names)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 
 # Strategy parameter sets, config.py:28-75 (the 5 "config flavor" strategies).
@@ -128,6 +128,9 @@ class Config:
     batch_size: int = 8
     dtype: str = "float32"
     data_parallel: bool = True
+    # device count for Phase-1 data parallelism (None = all visible; 1
+    # pins single-device dispatch — used by tests to compare outputs)
+    n_devices: Optional[int] = None
     # Phase-1 throughput tier: label with STRATEGY_FNS_FAST (canonical
     # airlight descent, fast guided filter, histogram percentiles) —
     # near-tie winners may occasionally flip vs the exact parity tier
