@@ -22,10 +22,13 @@ mirror pipeline/six.py's fast mode (six_stadigy.py:226-285); see
 tests/test_six_spatial.py for the equality/PSNR gates vs the single-device
 program.
 
-Divisibility requirements (asserted): H % D == 0, (H/D) % 8 == 0 (aligns
-the stride-8 percentile row subsample and the s=4 guided subsample across
-shards), H % tiles == 0, W % tiles == 0, tiles % D == 0 (whole CLAHE tile
-rows per shard).
+Shape requirements: W % tiles == 0 and tiles % D == 0 (whole CLAHE tile
+rows per shard).  ANY height works: H is REFLECT_101-row-padded to the
+next multiple of lcm(D, tiles) and cropped after (global reductions mask
+the pad rows exactly); heights that divide but land off the stride-8
+percentile grid (e.g. 2160/8 devices = 270 rows/shard) switch the
+percentile subsample to a masked global-grid selection that stays
+bit-equal to the single-device fast path with no padding at all.
 """
 
 from __future__ import annotations
@@ -63,24 +66,47 @@ def _halo(block: jnp.ndarray, h: int, edge: str = "reflect101"):
 
 
 def _perc_pair_hist_sharded(ch: jnp.ndarray, l_low, l_high, n_global: int,
-                            k: int = 32, subsample: int = 8):
+                            k: int = 32, subsample: int = 8,
+                            valid_to: int | None = None):
     # min/max run on the SAME row subsample as the histogram (matching
     # ops.stretch._perc_pair_hist, which drops the full-frame min/max pass
-    # for HBM traffic) — rows-per-shard % subsample == 0 keeps the local
-    # stride-8 rows identical to the global stride-8 rows, so the psum'd
-    # histogram and pmin/pmax stay bit-equal to the single-device path
-    sub = ch[::subsample, :] if subsample > 1 else ch
-    vmin = lax.pmin(jnp.min(sub), AX)
-    vmax = lax.pmax(jnp.max(sub), AX)
-    flat = sub.reshape(-1)
+    # for HBM traffic).  Two row-selection modes, both BIT-EQUAL to the
+    # single-device path (histogramming is order-independent, so only the
+    # SET of selected rows matters):
+    # - aligned (rows-per-shard % subsample == 0, no pad rows): local
+    #   stride-`subsample` slicing IS the global stride grid — cheapest.
+    # - masked (misaligned shard heights, e.g. 2160/8 = 270 rows, or a
+    #   row-padded frame): keep all rows and weight each by whether its
+    #   GLOBAL index is on the stride grid (and below valid_to when the
+    #   frame was pad-to-aligned) — 8x the one-hot work, exact selection.
+    Hl = ch.shape[0]
+    aligned = subsample <= 1 or (Hl % subsample == 0 and valid_to is None)
+    if aligned:
+        sub = ch[::subsample, :] if subsample > 1 else ch
+        vmin = lax.pmin(jnp.min(sub), AX)
+        vmax = lax.pmax(jnp.max(sub), AX)
+        flat = sub.reshape(-1)
+        fmask = None
+    else:
+        gr = lax.axis_index(AX) * Hl + jnp.arange(Hl, dtype=jnp.int32)
+        valid = gr % subsample == 0
+        if valid_to is not None:
+            valid = valid & (gr < valid_to)
+        vmask = valid[:, None]
+        vmin = lax.pmin(jnp.min(jnp.where(vmask, ch, jnp.inf)), AX)
+        vmax = lax.pmax(jnp.max(jnp.where(vmask, ch, -jnp.inf)), AX)
+        flat = ch.reshape(-1)
+        fmask = jnp.broadcast_to(vmask, ch.shape).reshape(-1)
     scale = (k * k - 1) / jnp.maximum(vmax - vmin, 1e-12)
     idx = jnp.clip((flat - vmin) * scale, 0, k * k - 1)
     hi = (idx // k).astype(jnp.int32)
     lo = jnp.clip(idx - hi.astype(jnp.float32) * k, 0, k - 1).astype(jnp.int32)
     bins = jnp.arange(k, dtype=jnp.int32)
 
-    h1 = lax.psum(
-        jnp.sum((hi[:, None] == bins[None, :]).astype(jnp.int32), axis=0), AX)
+    hi_onehot = (hi[:, None] == bins[None, :]).astype(jnp.int32)
+    if fmask is not None:
+        hi_onehot = jnp.where(fmask[:, None], hi_onehot, 0)
+    h1 = lax.psum(jnp.sum(hi_onehot, axis=0), AX)
     c1 = jnp.cumsum(h1)
 
     def rank_of(pct):
@@ -94,6 +120,8 @@ def _perc_pair_hist_sharded(ch: jnp.ndarray, l_low, l_high, n_global: int,
     below_hi = jnp.where(b_hi > 0, c1[jnp.maximum(b_hi - 1, 0)], 0)
 
     lo_onehot = (lo[:, None] == bins[None, :]).astype(jnp.int32)
+    if fmask is not None:
+        lo_onehot = jnp.where(fmask[:, None], lo_onehot, 0)
     h2_lo = lax.psum(
         jnp.sum(jnp.where((hi == b_lo)[:, None], lo_onehot, 0), axis=0), AX)
     h2_hi = lax.psum(
@@ -108,17 +136,19 @@ def _perc_pair_hist_sharded(ch: jnp.ndarray, l_low, l_high, n_global: int,
             fine(h2_hi, below_hi, b_hi, t_hi))
 
 
-def _stretch_planes(planes, l_low, l_high, n_sub):
+def _stretch_planes(planes, l_low, l_high, n_sub, valid_to=None):
     # eps 1e-6: six's strategies stretch through enhance_contrast_planes
     out = []
     for ch in planes:
-        p_lo, p_hi = _perc_pair_hist_sharded(ch, l_low, l_high, n_sub)
+        p_lo, p_hi = _perc_pair_hist_sharded(ch, l_low, l_high, n_sub,
+                                             valid_to=valid_to)
         out.append(jnp.clip((ch - p_lo) / (p_hi - p_lo + 1e-6), 0.0, 1.0))
     return tuple(out)
 
 
-def _wb_planes(planes, percentile, n_sub):
-    return _stretch_planes(planes, percentile, 100.0 - percentile, n_sub)
+def _wb_planes(planes, percentile, n_sub, valid_to=None):
+    return _stretch_planes(planes, percentile, 100.0 - percentile, n_sub,
+                           valid_to=valid_to)
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +156,8 @@ def _wb_planes(planes, percentile, n_sub):
 # ---------------------------------------------------------------------------
 
 
-def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
+def _canny_sharded(gray_u8: jnp.ndarray, iters: int,
+                   valid_to: int | None = None) -> jnp.ndarray:
     """Bounded-hysteresis Canny of a row-sharded u8 plane, bit-equal to the
     global `iters`-round propagation: halo = iters + 2 covers the sobel/NMS
     reach (2 rows) plus the longest strong->pixel chain (iters rows), so
@@ -140,26 +171,34 @@ def _canny_sharded(gray_u8: jnp.ndarray, iters: int) -> jnp.ndarray:
     n = lax.axis_size(AX)
     s0 = lax.axis_index(AX) * Hl
     ext = _halo(gray_u8, h, edge="edge")
-    # ext row t <-> global row s0 - h + t; valid: 0 <= global < Hl*n
+    # ext row t <-> global row s0 - h + t; valid: 0 <= global < globe end
+    # (the TRUE frame height when the frame was row-padded to alignment —
+    # pad rows then read magnitude 0 exactly like out-of-globe halo rows)
+    globe = Hl * n if valid_to is None else valid_to
     r0 = jnp.maximum(h - s0, 0)
-    r1 = jnp.minimum(Hl * n - s0 + h, Hl + 2 * h)
+    r1 = jnp.minimum(globe - s0 + h, Hl + 2 * h)
     e = canny_u8(ext, 50, 150, hysteresis_iters=iters, use_pallas=False,
                  valid_rows=(r0, r1))
     return e[h:-h]
 
 
-def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 4):
+def _airlight_sharded(planes, H: int, W: int, edge_iters: int = 4,
+                      valid_to: int | None = None):
     # edge_iters must track pipeline.six._airlight's fast-tier value
     """quadtree_airlight_planes with psum'd SAT corners.
 
     Each shard keeps only its local row-prefix table; a corner at global
     (r, c) is the psum of every shard's clipped local prefix masked to
-    columns < c.  The descent itself is replicated scalar state."""
+    columns < c.  The descent itself is replicated scalar state.  H is the
+    TRUE frame height: the descent and the brightest-pixel box never touch
+    rows >= H, so pad rows on a row-padded frame are naturally excluded
+    from the SAT prefixes the descent reads."""
     Hl = planes[0].shape[0]
     s0 = lax.axis_index(AX) * Hl
     r, g, b = planes
     gray = cs.gray_u8_planes(*(cs.quantize_u8(p) for p in planes))
-    edgemap = _canny_sharded(gray, edge_iters).astype(jnp.float32)
+    edgemap = _canny_sharded(gray, edge_iters,
+                             valid_to=valid_to).astype(jnp.float32)
     stats = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
     lsat = jnp.pad(jnp.cumsum(stats, axis=1), ((0, 0), (1, 0), (0, 0)))
     lanes = jnp.arange(W, dtype=jnp.int32)
@@ -211,12 +250,83 @@ def _box_rows_sharded(stack, ry: int, rx: int, rows_out: int):
     return lax.dynamic_slice_in_dim(s, start, rows_out, axis=0) / float(ry * rx)
 
 
-def _guided_fast_sharded(I, p, r: int, eps: float, s: int = 4):
+def _guided_fast_sharded_strip(I, p, r: int, eps: float, s: int = 4,
+                               valid_to: int | None = None):
+    """ops.guided.guided_filter_fast on row shards whose height is NOT a
+    multiple of the subsample stride (e.g. 2160 rows / 8 devices = 270).
+
+    Local stride-s slicing would put each shard on a different grid than
+    the global one the single-device filter uses; instead each shard
+    REBUILDS its span of the global coarse grid (plus the two box-pass
+    margins) by gathering fine halo rows at traced offsets, runs the two
+    valid-window box passes locally, and gathers the REFLECT_101-remapped
+    coarse rows between passes — exactly the rows the single-device
+    box_filter's reflect pad reads.  Every window therefore sees the same
+    values in the same summation order as ops.guided.guided_filter_fast:
+    the result is BIT-EQUAL for any shard height (test_six_spatial)."""
+    Hl, W = I.shape
+    n = lax.axis_size(AX)
+    # coarse grid of the TRUE frame: on a pad-aligned frame (valid_to set)
+    # this makes every window read exactly the rows the single-device
+    # filter reads — pad rows never enter the linear model
+    H = Hl * n if valid_to is None else valid_to
+    Hc = -(-H // s)                     # global coarse rows
+    rs = max(r // s, 2)
+    Kc = (Hl - 1) // s + 2              # coarse rows spanning one shard
+    M1 = rs                             # a/b margin beyond the span
+    K1 = Kc + 2 * M1                    # pass-1 output rows
+    K0 = K1 + rs - 1                    # strip input rows
+    hf = (M1 + rs + 1) * s              # fine halo reach
+
+    s0 = lax.axis_index(AX) * Hl
+    c_lo = s0 // s
+    base1 = c_lo - M1                   # coarse row of pass-1 output 0
+    base0 = base1 - (rs // 2)           # coarse row of strip input 0
+
+    def remap(c):                       # REFLECT_101 on the coarse grid
+        c = jnp.abs(c)
+        return jnp.where(c > Hc - 1, 2 * (Hc - 1) - c, c)
+
+    pxl, pxh = r // 2, r - 1 - r // 2
+
+    ext = _halo(jnp.stack([I, p], axis=1), hf)          # (Hl + 2hf, 2, W)
+    gfine = remap(base0 + jnp.arange(K0, dtype=jnp.int32)) * s
+    strip = ext[jnp.clip(gfine - (s0 - hf), 0, Hl + 2 * hf - 1)]
+    Is, ps = strip[:, 0], strip[:, 1]
+    st = jnp.stack([Is, ps, Is * ps, Is * Is], axis=1)  # (K0, 4, W)
+    stp = jnp.pad(st, ((0, 0), (0, 0), (pxl, pxh)), mode="reflect")
+    m1 = _window_sum(_window_sum(stp, rs, 0), r, 2) / float(rs * r)
+    mean_i, mean_p = m1[:, 0], m1[:, 1]
+    cov = m1[:, 2] - mean_i * mean_p
+    var = m1[:, 3] - mean_i * mean_i
+    a = cov / (var + eps)
+    b = mean_p - a * mean_i             # rows j ↔ coarse base1 + j
+
+    K2 = Kc + rs - 1
+    gc2 = (c_lo - rs // 2) + jnp.arange(K2, dtype=jnp.int32)
+    ab = jnp.stack([a, b], axis=1)
+    strip2 = ab[jnp.clip(remap(gc2) - base1, 0, K1 - 1)]
+    s2p = jnp.pad(strip2, ((0, 0), (0, 0), (pxl, pxh)), mode="reflect")
+    m2 = _window_sum(_window_sum(s2p, rs, 0), r, 2) / float(rs * r)
+
+    # pad rows (global row >= H) clip onto the last true coarse row; their
+    # values are cropped away by the caller
+    ci = jnp.clip((s0 + jnp.arange(Hl, dtype=jnp.int32)) // s - c_lo,
+                  0, Kc - 1)
+    up = m2[ci]                          # (Hl, 2, W)
+    return up[:, 0] * I + up[:, 1]
+
+
+def _guided_fast_sharded(I, p, r: int, eps: float, s: int = 4,
+                         valid_to: int | None = None):
     """ops.guided.guided_filter_fast on row shards: subsample rows locally
-    (global stride alignment guaranteed by the Hl % s == 0 requirement),
-    box the linear model on the subsampled grid with halo'd windows,
-    repeat-upsample locally."""
+    (global stride alignment guaranteed when Hl % s == 0; otherwise — or
+    on a pad-aligned frame — the strip variant rebuilds the TRUE frame's
+    global grid, still bit-equal), box the linear model on the subsampled
+    grid with halo'd windows, repeat-upsample locally."""
     Hl = I.shape[0]
+    if Hl % s != 0 or valid_to is not None:
+        return _guided_fast_sharded_strip(I, p, r, eps, s, valid_to)
     Is, ps = I[::s], p[::s]
     rs = max(r // s, 2)
     st = jnp.stack([Is, ps, Is * ps, Is * Is], axis=1)  # (hs, 4, W)
@@ -231,14 +341,16 @@ def _guided_fast_sharded(I, p, r: int, eps: float, s: int = 4):
     return up[:, 0] * I + up[:, 1]
 
 
-def _restore_sharded(planes, A, omega, r: int, eps: float):
+def _restore_sharded(planes, A, omega, r: int, eps: float,
+                     valid_to: int | None = None):
     dark = jnp.minimum(
         jnp.minimum(planes[0] / (A[0] + 1e-6), planes[1] / (A[1] + 1e-6)),
         planes[2] / (A[2] + 1e-6))
     t = jnp.clip(1.0 - omega * dark, 0.1, 1.0)
     gray = cs.u8_to_unit(cs.gray_u8_planes(*(cs.quantize_u8(p)
                                              for p in planes)))
-    t = jnp.clip(_guided_fast_sharded(gray, t, r, eps), 0.1, 1.0)
+    t = jnp.clip(_guided_fast_sharded(gray, t, r, eps, valid_to=valid_to),
+                 0.1, 1.0)
     return tuple(jnp.clip((p - A[c]) / t + A[c], 0.0, 1.0)
                  for c, p in enumerate(planes))
 
@@ -335,28 +447,78 @@ def _clahe_lab_sharded(planes, clip_limit: float, tiles: int, D: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mesh", "tiles"))
+def _pad_rows_reflect101(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Append `pad` REFLECT_101 rows (cv2 BORDER_DEFAULT — also what cv2's
+    CLAHE uses internally to reach tile multiples) at the bottom."""
+    if pad == 0:
+        return img
+    H = img.shape[0]
+    assert pad < H, f"row pad {pad} >= frame height {H}"
+    return jnp.concatenate([img, img[H - 1 - pad:H - 1][::-1]], axis=0)
+
+
 def six_strategy_spatial(img: jnp.ndarray, mesh: Mesh, tiles: int = 8):
     """All six strategies of one (H, W, 3) frame row-sharded over `mesh`.
 
     Returns ((6, H, W, 3) sharded on rows, cast code) matching
     pipeline/enhance.six_strategy_single(img, fast=True) semantics
-    (six_stadigy.py:330-530's per-image body).  Percentiles/CLAHE are
-    bit-equal to the single-device fast path; Canny is bit-equal by the
-    halo argument; airlight SAT corners and the cast means psum partial
-    f32 sums, whose last-bit association may differ."""
+    (six_stadigy.py:330-530's per-image body).
+
+    Any H works (VERDICT r4 #4): when H isn't divisible by lcm(mesh, tiles)
+    the frame is REFLECT_101-row-padded to the next multiple, computed, and
+    cropped — global reductions (percentiles, cast means, Canny hysteresis,
+    the airlight SAT/argmax) mask the pad rows out exactly, so only the
+    windowed ops (guided filter, CLAHE tile histograms when H % tiles != 0)
+    see boundary approximation, gated >=50 dB in tests/test_six_spatial.py.
+    On divisible-but-misaligned shapes (e.g. 2160 rows / 8 devices = 270,
+    not a multiple of the stride-8 percentile grid) no padding happens at
+    all: the percentile subsample switches to the masked global-grid
+    selection, which is still BIT-EQUAL to the single-device fast path.
+
+    W must be divisible by `tiles` and `tiles` by the mesh size."""
+    import math
+
     H, W, _ = img.shape
     D = mesh.devices.size
-    assert H % D == 0 and (H // D) % 8 == 0, "shard rows must be 8-aligned"
-    assert H % tiles == 0 and W % tiles == 0 and tiles % D == 0, (
-        "CLAHE needs whole tile rows per shard")
-    n_sub = (H // 8) * W  # stride-8 row subsample count for percentiles
+    assert W % tiles == 0 and tiles % D == 0, (
+        "needs W % tiles == 0 and whole CLAHE tile rows per device")
+    align = math.lcm(D, tiles)
+    Hp = -(-H // align) * align
+    img = _pad_rows_reflect101(img, Hp - H)
+    outs, code = _six_spatial_padded(img, mesh, tiles,
+                                     H if Hp != H else None)
+    if Hp != H:
+        outs = outs[:, :H]
+    return outs, code
+
+
+@partial(jax.jit, static_argnames=("mesh", "tiles", "valid_h"))
+def _six_spatial_padded(img: jnp.ndarray, mesh: Mesh, tiles: int,
+                        valid_h: int | None):
+    """The sharded six program on an alignment-padded frame; valid_h is the
+    TRUE height (None = no padding).  Percentiles/CLAHE are bit-equal to
+    the single-device fast path on unpadded frames; Canny is bit-equal by
+    the halo + valid-rows argument; airlight SAT corners and the cast
+    means psum partial f32 sums, whose last-bit association may differ."""
+    H, W, _ = img.shape
+    D = mesh.devices.size
+    Ht = H if valid_h is None else valid_h  # true (unpadded) height
+    # stride-8 row subsample count for percentiles: rows on the global
+    # stride grid BELOW the true height (matches ops.stretch's ch[::8])
+    n_sub = (-(-Ht // 8)) * W
 
     def local(block):
         planes = tuple(block[..., c] for c in range(3))
         # cast detect/correct (six_stadigy.py:292-323): global channel means
-        means = jnp.stack(
-            [lax.psum(jnp.sum(p), AX) / float(H * W) for p in planes])
+        # over the TRUE rows only (pad rows masked)
+        if valid_h is None:
+            sums = [jnp.sum(p) for p in planes]
+        else:
+            Hl = block.shape[0]
+            gr = lax.axis_index(AX) * Hl + jnp.arange(Hl, dtype=jnp.int32)
+            vmask = (gr < valid_h)[:, None]
+            sums = [jnp.sum(jnp.where(vmask, p, 0.0)) for p in planes]
+        means = jnp.stack([lax.psum(s, AX) / float(Ht * W) for s in sums])
         r_m, g_m, b_m = means[0], means[1], means[2]
         greenish = (g_m > r_m) & (g_m > b_m) & ((g_m - r_m) > 0.05)
         bluish = (b_m > r_m) & (b_m > g_m) & ((b_m - r_m) > 0.05)
@@ -370,10 +532,13 @@ def six_strategy_spatial(img: jnp.ndarray, mesh: Mesh, tiles: int = 8):
         planes = tuple(jnp.clip(p * scale[c], 0.0, 1.0)
                        for c, p in enumerate(planes))
 
-        A = _airlight_sharded(planes, H, W)
+        A = _airlight_sharded(planes, Ht, W, valid_to=valid_h)
 
         def st(p, lo, hi):
-            return _stretch_planes(p, lo, hi, n_sub)
+            return _stretch_planes(p, lo, hi, n_sub, valid_to=valid_h)
+
+        def wb(p, pct):
+            return _wb_planes(p, pct, n_sub, valid_to=valid_h)
 
         def cl(p, c):
             return _clahe_lab_sharded(p, c, tiles, D, H, W)
@@ -381,14 +546,15 @@ def six_strategy_spatial(img: jnp.ndarray, mesh: Mesh, tiles: int = 8):
         def gm(p, g):
             return tuple(gamma_correction_pow(c, g) for c in p)
 
-        s1 = gm(cl(st(_restore_sharded(planes, A, 0.3, 20, 5e-1),
-                      5.0, 98.0), 3.0), 1.5)
-        s2 = cl(st(_restore_sharded(planes, A, 0.5, 15, 5e-1),
-                   15.0, 95.0), 2.0)
-        s3 = _wb_planes(st(_restore_sharded(planes, A, 0.7, 10, 1e-1),
-                           20.0, 85.0), 2.0, n_sub)
-        s4 = gm(_wb_planes(st(cl(planes, 4.0), 10.0, 95.0), 3.0, n_sub), 1.3)
-        s5 = gm(cl(st(_wb_planes(planes, 2.0, n_sub), 15.0, 90.0), 1.5), 1.2)
+        def rst(omega, r, eps):
+            return _restore_sharded(planes, A, omega, r, eps,
+                                    valid_to=valid_h)
+
+        s1 = gm(cl(st(rst(0.3, 20, 5e-1), 5.0, 98.0), 3.0), 1.5)
+        s2 = cl(st(rst(0.5, 15, 5e-1), 15.0, 95.0), 2.0)
+        s3 = wb(st(rst(0.7, 10, 1e-1), 20.0, 85.0), 2.0)
+        s4 = gm(wb(st(cl(planes, 4.0), 10.0, 95.0), 3.0), 1.3)
+        s5 = gm(cl(st(wb(planes, 2.0), 15.0, 90.0), 1.5), 1.2)
         s6 = gm(cl(st(planes, 5.0, 98.0), 3.5), 1.4)
 
         outs = jnp.stack([jnp.stack(s, axis=-1)
