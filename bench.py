@@ -64,14 +64,19 @@ def main() -> None:
     # warm up / compile
     float(run(frames))
 
-    # tunnel RTT probe
+    # tunnel RTT probe — MIN of 10, not the mean: one stalled probe would
+    # inflate a mean and over-subtract from every rep (bench_pipelines._rtt
+    # has the observed failure case); the minimum is the floor each timed
+    # rep actually pays.
     ident = jax.jit(lambda x: x + 1.0)
     z = jax.device_put(np.zeros((4, 4), np.float32))
     float(np.asarray(ident(z))[0, 0])
-    t0 = time.time()
-    for _ in range(5):
+    probes = []
+    for _ in range(10):
+        t0 = time.time()
         _ = np.asarray(ident(z))
-    rtt = (time.time() - t0) / 5
+        probes.append(time.time() - t0)
+    rtt = min(probes)
 
     times = []
     for _ in range(REPS):

@@ -39,16 +39,26 @@ def _requantize(x):
 
 
 def _rtt():
+    """Tunnel round-trip to subtract from each timed dispatch.
+
+    MIN of 10 probes, not the mean: the probe itself can catch a transient
+    tunnel stall, and a mean inflated to tens of ms then over-subtracts
+    from every rep (observed: a run where six measured an impossible
+    1.18 ms/frame because one stalled probe pushed the mean RTT past the
+    program's own runtime).  The minimum is the floor the timed reps
+    actually pay."""
     import jax
     import numpy as np
 
     ident = jax.jit(lambda x: x + 1.0)
     z = jax.device_put(np.zeros((4, 4), np.float32))
     float(np.asarray(ident(z))[0, 0])
-    t0 = time.time()
-    for _ in range(5):
+    probes = []
+    for _ in range(10):
+        t0 = time.time()
         _ = np.asarray(ident(z))
-    return (time.time() - t0) / 5
+        probes.append(time.time() - t0)
+    return min(probes)
 
 
 def _make_frames(n, h, w, seed=0):

@@ -5,6 +5,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, ".")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

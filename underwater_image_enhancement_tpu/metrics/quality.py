@@ -45,6 +45,21 @@ def assess_all(img: jnp.ndarray,
                fast: bool = False) -> Dict[str, jnp.ndarray]:
     """Metric scores for one (H, W, 3) image in [0,1].
 
+    Thin NHWC shim over ``assess_all_planes`` (bit-identical: every
+    metric is elementwise-then-reduce, so channel split order is the only
+    difference and it has none)."""
+    return assess_all_planes((img[..., 0], img[..., 1], img[..., 2]),
+                             needed=needed, fast=fast)
+
+
+def assess_all_planes(planes,
+                      needed: frozenset | None = None,
+                      fast: bool = False) -> Dict[str, jnp.ndarray]:
+    """Metric scores for one image given as (r, g, b) float planes in [0,1]
+    — the Phase-1 label program's channel-first layout (consuming strategy
+    outputs directly as planes removes the NHWC stack + re-split layout
+    copies the device trace showed, tools/prof_label_trace).
+
     needed=None computes all 8; otherwise only the named metrics (and
     only the colorspace transforms they read) are traced — zero-weight
     metrics in config.py's 6-weight dict cost full-frame reductions the
@@ -58,8 +73,9 @@ def assess_all(img: jnp.ndarray,
     fuses into one reduction (±1 LSB per pixel ⇒ score delta well under
     the fast-tier near-tie budget)."""
     k = METRIC_NAMES if needed is None else needed
-    u8 = cs.quantize_u8(img)
-    gray_u8 = cs.rgb_to_gray_u8(u8)
+    r, g, b = planes
+    r8, g8, b8 = cs.quantize_u8(r), cs.quantize_u8(g), cs.quantize_u8(b)
+    gray_u8 = cs.gray_u8_planes(r8, g8, b8)
     gray = cs.u8_to_unit(gray_u8)
 
     scores = {}
@@ -75,8 +91,7 @@ def assess_all(img: jnp.ndarray,
         ent = _entropy_u8(gray_u8)
         scores["entropy"] = jnp.clip((ent - 4.0) / 4.0 * 100.0, 0.0, 100.0)
     if "saturation" in k or "naturalness" in k:
-        hsv = cs.rgb_to_hsv_u8(u8)
-        sat = hsv[..., 1].astype(jnp.float32) / 255.0
+        sat = cs.hsv_s_u8_planes(r8, g8, b8).astype(jnp.float32) / 255.0
     # saturation (:88-97)
     if "saturation" in k:
         scores["saturation"] = jnp.clip(jnp.mean(sat) * 100.0, 0.0, 100.0)
@@ -85,8 +100,9 @@ def assess_all(img: jnp.ndarray,
     # fast tier: arithmetic L fused into the mean (no gathers, no plane)
     if "brightness" in k:
         if fast:
-            lab_l = cs.rgb_u8_to_lab_l_arith(u8)
+            lab_l = cs.rgb_u8_to_lab_l_arith_planes(r8, g8, b8)
         else:
+            u8 = jnp.stack([r8, g8, b8], axis=-1)
             lab_l = cs.rgb_to_lab_l_u8_exact(u8).astype(jnp.float32)
         dev = jnp.abs(jnp.mean(lab_l) - 128.0)
         scores["brightness"] = 100.0 - jnp.clip(dev / 128.0 * 100.0, 0.0, 100.0)
@@ -98,7 +114,6 @@ def assess_all(img: jnp.ndarray,
         )
     # colorfulness (:160-184) — on the FLOAT image, like the reference
     if "colorfulness" in k:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
         rg = r - g
         yb = 0.5 * (r + g) - b
         std_rgyb = jnp.sqrt(jnp.std(rg) ** 2 + jnp.std(yb) ** 2)
@@ -162,3 +177,27 @@ def comprehensive_batch(imgs: jnp.ndarray,
         return total
 
     return jax.vmap(total_one)(imgs)
+
+
+def comprehensive_batch_planes(planes,
+                               weights: Dict[str, float] | None = None,
+                               fast: bool = False) -> jnp.ndarray:
+    """(r, g, b) planes, each (B, H, W) -> (B,) weighted totals.
+
+    Bit-identical to ``comprehensive_batch`` on the stacked NHWC batch;
+    the Phase-1 label program feeds strategy outputs through here without
+    ever stacking them (see assess_all_planes)."""
+    from underwater_image_enhancement_tpu.utils.config import FULL_QUALITY_WEIGHTS
+
+    w = FULL_QUALITY_WEIGHTS if weights is None else weights
+    needed = frozenset(k for k in METRIC_NAMES if w.get(k, 0) != 0)
+
+    def total_one(p):
+        s = assess_all_planes(p, needed=needed, fast=fast)
+        total = jnp.float32(0.0)
+        for k in METRIC_NAMES:
+            if k in needed:
+                total = total + s[k] * jnp.float32(w[k])
+        return total
+
+    return jax.vmap(total_one)(planes)

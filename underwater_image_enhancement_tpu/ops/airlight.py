@@ -141,10 +141,25 @@ def quadtree_descend(corners_fn, H: int, W: int, min_size: int = 1):
     return state
 
 
+_BAND = 8  # banded-SAT row stride (see quadtree_airlight_planes)
+
+
 @partial(jax.jit, static_argnames=("min_size", "edge_iters"))
 def quadtree_airlight_planes(planes, min_size: int = 1,
                              edge_iters: int = 64) -> jnp.ndarray:
     """Channel-first core: (r, g, b) planes -> A (3,).
+
+    Banded SAT: the old full (7, H+1, W) row-prefix table cost ~55 MB per
+    1080p frame to write, and in the batched label program XLA inserted
+    TWO further full-size layout copies for the descent's gathers (the
+    profiler showed ~0.5 ms/frame of pure copy).  The descent only ever
+    reads 3 row strips per level, so instead only per-band sums at stride
+    ``_BAND`` are prefix-summed — (7, H/8+1, W), 8x smaller — and a corner
+    at row r re-derives the exact row prefix as band_prefix[r // 8] plus a
+    masked sum of the <8 remaining rows gathered straight from the input
+    planes.  The f32 summation order changes (exact band partials instead
+    of a Hillis-Steele scan) but the canonical-golden airlight test still
+    bounds the result at 1e-6 vs the float64 oracle.
 
     edge_iters bounds the Canny hysteresis propagation; 64 matches the
     parity-tested global edge map, throughput callers may lower it (the
@@ -152,18 +167,46 @@ def quadtree_airlight_planes(planes, min_size: int = 1,
     r, g, b = planes
     H, W = r.shape[0], r.shape[1]
     gray = gray_u8_planes(*(quantize_u8(p) for p in planes))
-    edgemap = canny_u8(gray, 50, 150,
-                       hysteresis_iters=edge_iters).astype(jnp.float32)
-    stat_planes = jnp.stack([r, g, b, r * r, g * g, b * b, edgemap], axis=0)
-    sats = _sat_rows(stat_planes, fast=True)  # (7, H+1, W)
+    edge = canny_u8(gray, 50, 150,
+                    hysteresis_iters=edge_iters).astype(jnp.float32)
+
+    S = _BAND
+    nb = -(-H // S)
+    pad = nb * S - H
+
+    def stats7(rr, gg, bb, ee):
+        # plane order quadtree_descend expects: [r, g, b, r^2, g^2, b^2, e]
+        return (rr, gg, bb, rr * rr, gg * gg, bb * bb, ee)
+
+    def banded(x):
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        return xp.reshape(nb, S, W)
+
+    segs = tuple(banded(x) for x in (r, g, b, edge))
+    band = jnp.stack([jnp.sum(s, axis=1) for s in stats7(*segs)],
+                     axis=0)                             # (7, nb, W)
+    band_prefix = jnp.pad(jnp.cumsum(band, axis=1),
+                          ((0, 0), (1, 0), (0, 0)))      # (7, nb+1, W)
+
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    offs = jnp.arange(S, dtype=jnp.int32)
 
     def corners(rows, cols):
-        # The 4 children share a 3x3 grid of SAT corners; fetch all 9 points
-        # for all 7 planes via one 3-row strip + tiny column prefix (the
-        # per-corner dynamic_slice version serialized ~50 latency-bound HBM
-        # reads per level).
-        return _corner_grid(sats, rows, cols,
-                            fast=jax.default_backend() == "tpu")
+        # The 4 children share a 3x3 grid of SAT corners; rebuild the
+        # 3-row strip of exact row prefixes from the band table + in-band
+        # remainders, then the tiny masked column reduction (lane scans
+        # measured ~30x slower than sublane ones on TPU).
+        bidx = rows // S                                  # (3,)
+        base = band_prefix[:, bidx, :]                    # (7, 3, W)
+        ids = jnp.clip(bidx[:, None] * S + offs[None, :], 0, H - 1)
+        seg = tuple(x[ids] for x in (r, g, b, edge))      # (3, S, W) each
+        m = (offs[None, :, None]
+             < (rows - bidx * S)[:, None, None]).astype(r.dtype)
+        part = jnp.stack([jnp.sum(s * m, axis=1) for s in stats7(*seg)],
+                         axis=0)                          # (7, 3, W)
+        strip = base + part
+        cmask = (lanes[None, :] < cols[:, None]).astype(strip.dtype)
+        return jnp.sum(strip[:, :, None, :] * cmask[None, None], axis=-1)
 
     r0, c0, h, w = quadtree_descend(corners, H, W, min_size)
 

@@ -188,6 +188,29 @@ def rgb_u8_to_lab_l_arith(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     return (116.0 * _lab_f(y) - 16.0) * 255.0 / 100.0
 
 
+def rgb_u8_to_lab_l_arith_planes(r8: jnp.ndarray, g8: jnp.ndarray,
+                                 b8: jnp.ndarray) -> jnp.ndarray:
+    """``rgb_u8_to_lab_l_arith`` on channel-first u8-valued int planes —
+    the Phase-1 label program's layout (no NHWC stack, no layout copies)."""
+    lr, lg, lb = (_srgb_to_linear(p.astype(jnp.float32) / 255.0)
+                  for p in (r8, g8, b8))
+    y = (lr * _RGB2XYZ[1, 0] + lg * _RGB2XYZ[1, 1]
+         + lb * _RGB2XYZ[1, 2]) / _WHITE[1]
+    return (116.0 * _lab_f(y) - 16.0) * 255.0 / 100.0
+
+
+def hsv_s_u8_planes(r8: jnp.ndarray, g8: jnp.ndarray,
+                    b8: jnp.ndarray) -> jnp.ndarray:
+    """cv2-exact HSV S channel from u8-valued int planes (the fixed-point
+    path of ``rgb_to_hsv_u8``, S term only — the quality metrics consume
+    nothing else of HSV)."""
+    v = jnp.maximum(jnp.maximum(r8, g8), b8)
+    mn = jnp.minimum(jnp.minimum(r8, g8), b8)
+    diff = v - mn
+    sdiv = _corrected_lookup(v, _SDIV_TAB, _g_sdiv_tab, "sdiv")
+    return (diff * sdiv + (1 << 11)) >> 12
+
+
 def lab_to_rgb_u8(lab_u8: jnp.ndarray) -> jnp.ndarray:
     """cv2.COLOR_LAB2RGB on uint8 (inverse of rgb_to_lab_u8)."""
     lab = lab_u8.astype(jnp.float32)

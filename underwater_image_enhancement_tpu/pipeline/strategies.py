@@ -36,6 +36,21 @@ def _per_image(fn, img):
     return jax.vmap(fn)(img)
 
 
+def _per_image_planes(fn, img):
+    """Apply a (H,W,3)->(r,g,b)-planes fn to single or batched input."""
+    if img.ndim == 3:
+        return fn(img)
+    return jax.vmap(fn)(img)
+
+
+def _stacked(fn_planes):
+    """NHWC builder from a planes builder (one stack at exit — the
+    channel-first layout note above)."""
+    def f(img, method):
+        return jnp.stack(fn_planes(img, method), axis=-1)
+    f.__doc__ = fn_planes.__doc__
+    return f
+
 
 def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
                          apply_gamma, gamma, method="radix"):
@@ -53,7 +68,9 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
     refine is linear in omega, so the three dehaze strategies' transmissions
     all derive from one refined dark channel that XLA CSE dedupes across
     strategies — dehaze.estimate_transmission_planes_shared), histogram
-    percentiles."""
+    percentiles.
+
+    Returns the (r, g, b) PLANES tuple; NHWC callers stack at exit."""
     p = _split(img)
     if method == "hist-fast":
         A = quadtree_airlight_planes(p, edge_iters=4)
@@ -68,7 +85,7 @@ def _dehaze_then_stretch(img, omega, guided_radius, l_low, l_high,
     out = stretch.color_enhancement_planes(rec, l_low, l_high, method=method)
     if apply_gamma:
         out = tuple(stretch.gamma_correction_inv(c, gamma) for c in out)
-    return jnp.stack(out, axis=-1)
+    return out
 
 
 def _fast(method):
@@ -77,34 +94,34 @@ def _fast(method):
     return method == "hist-fast"
 
 
-def _strong_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _strong_dehazing_planes(img: jnp.ndarray, method: str):
     """enhancement_strategies.py:349-374, params config.py:29-37."""
-    return _per_image(
+    return _per_image_planes(
         lambda im: _dehaze_then_stretch(im, 0.5, 15, 10.0, 95.0, True, 1.2,
                                         method), img
     )
 
 
-def _medium_dehazing(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _medium_dehazing_planes(img: jnp.ndarray, method: str):
     """enhancement_strategies.py:376-397, params config.py:38-45.
 
     NOTE the reference quirk: apply_medium_dehazing reads omega/radius from
     params but estimate_atmospheric_light always runs with min_size=1."""
-    return _per_image(
+    return _per_image_planes(
         lambda im: _dehaze_then_stretch(im, 0.6, 20, 15.0, 92.0, True, 1.2,
                                         method), img
     )
 
 
-def _light_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _light_enhancement_planes(img: jnp.ndarray, method: str):
     """enhancement_strategies.py:422-444, params config.py:46-53."""
-    return _per_image(
+    return _per_image_planes(
         lambda im: _dehaze_then_stretch(im, 0.4, 10, 15.0, 95.0, False, 1.2,
                                         method), img
     )
 
 
-def _clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _clahe_enhancement_planes(img: jnp.ndarray, method: str):
     """enhancement_strategies.py:399-420: CLAHE then stretch 20-85.
 
     The L_low/L_high defaults (20/85) come from apply_clahe_enhancement's
@@ -112,33 +129,28 @@ def _clahe_enhancement(img: jnp.ndarray, method: str) -> jnp.ndarray:
     def one(im):
         c = histeq.clahe_enhancement_planes(_split(im), 2.0, 8, 8,
                                             lab_fast=_fast(method))
-        return jnp.stack(
-            stretch.color_enhancement_planes(c, 20.0, 85.0, method=method),
-            axis=-1
-        )
+        return stretch.color_enhancement_planes(c, 20.0, 85.0, method=method)
 
-    return _per_image(one, img)
+    return _per_image_planes(one, img)
 
 
-def _histogram_equalization(img: jnp.ndarray, method: str) -> jnp.ndarray:
+def _histogram_equalization_planes(img: jnp.ndarray, method: str):
     """enhancement_strategies.py:460-474: hist-eq then stretch 10-95."""
     def one(im):
         e = histeq.histogram_equalization_planes(_split(im))
-        return jnp.stack(
-            stretch.color_enhancement_planes(e, 10.0, 95.0, method=method),
-            axis=-1
-        )
+        return stretch.color_enhancement_planes(e, 10.0, 95.0, method=method)
 
-    return _per_image(one, img)
+    return _per_image_planes(one, img)
 
 
-_BUILDERS = {
-    "strong_dehazing": _strong_dehazing,
-    "medium_dehazing": _medium_dehazing,
-    "clahe_enhancement": _clahe_enhancement,
-    "light_enhancement": _light_enhancement,
-    "histogram_equalization": _histogram_equalization,
+_BUILDERS_PLANES = {
+    "strong_dehazing": _strong_dehazing_planes,
+    "medium_dehazing": _medium_dehazing_planes,
+    "clahe_enhancement": _clahe_enhancement_planes,
+    "light_enhancement": _light_enhancement_planes,
+    "histogram_equalization": _histogram_equalization_planes,
 }
+_BUILDERS = {k: _stacked(f) for k, f in _BUILDERS_PLANES.items()}
 
 
 def _jit_with_method(fn, method):
@@ -155,6 +167,15 @@ STRATEGY_FNS = {k: _jit_with_method(f, "radix") for k, f in _BUILDERS.items()}
 # build-dataset --fast); near-tie winners may occasionally flip
 STRATEGY_FNS_FAST = {k: _jit_with_method(f, "hist-fast")
                      for k, f in _BUILDERS.items()}
+# plane-returning twins of the two tiers: the Phase-1 label program keeps
+# everything channel-first end to end (strategy -> metric -> winner
+# where-chain) and stacks NHWC exactly ONCE at exit — the per-strategy
+# stack + the metrics' NHWC re-split cost ~0.9 ms/frame of pure layout
+# copies @1080p x batch 4 in the device trace (tools/prof_label_trace)
+STRATEGY_FNS_PLANES = {k: _jit_with_method(f, "radix")
+                       for k, f in _BUILDERS_PLANES.items()}
+STRATEGY_FNS_FAST_PLANES = {k: _jit_with_method(f, "hist-fast")
+                            for k, f in _BUILDERS_PLANES.items()}
 
 strong_dehazing = STRATEGY_FNS["strong_dehazing"]
 medium_dehazing = STRATEGY_FNS["medium_dehazing"]
@@ -201,7 +222,7 @@ def _apply_custom(img, strategy_name: str, frozen):
             "light_enhancement": (0.4, 10, 15.0, 95.0, False, 1.2),
         }[strategy_name]
         return _per_image(
-            lambda im: _dehaze_then_stretch(
+            lambda im: jnp.stack(_dehaze_then_stretch(
                 im,
                 p.get("omega", defaults[0]),
                 int(p.get("guided_radius", defaults[1])),
@@ -209,7 +230,7 @@ def _apply_custom(img, strategy_name: str, frozen):
                 float(p.get("L_high", defaults[3])),
                 bool(p.get("apply_gamma", defaults[4])),
                 float(p.get("gamma", defaults[5])),
-            ),
+            ), axis=-1),
             img,
         )
     if strategy_name == "clahe_enhancement":

@@ -35,7 +35,8 @@ from underwater_image_enhancement_tpu.features.full import extract_all_features
 from underwater_image_enhancement_tpu.pipeline.strategies import (
     STRATEGY_DISPLAY,
     STRATEGY_FNS,
-    STRATEGY_FNS_FAST,
+    STRATEGY_FNS_FAST_PLANES,
+    STRATEGY_FNS_PLANES,
 )
 from underwater_image_enhancement_tpu.utils import io as uio
 from underwater_image_enhancement_tpu.utils.config import Config
@@ -56,31 +57,39 @@ def _label_batch(imgs: jnp.ndarray, weights: tuple, return_all: bool = True,
     (pipeline/strategies.py STRATEGY_FNS_FAST) — near-tie winners may
     occasionally flip vs the exact tier."""
     from underwater_image_enhancement_tpu.features.full import extract_batch
-    from underwater_image_enhancement_tpu.metrics.quality import comprehensive_batch
+    from underwater_image_enhancement_tpu.metrics.quality import (
+        comprehensive_batch_planes,
+    )
 
-    fns = STRATEGY_FNS_FAST if fast else STRATEGY_FNS
-    outs = [fns[k](imgs) for k in _LABEL_ORDER]
-    # score each strategy's batch directly — identical per-image math to
-    # scoring one stacked (B*S, ...) batch, without materializing the
-    # (B, S, H, W, 3) stack (its concatenate+copy+gather cost ~1 ms/frame
-    # @1080p x batch 4 on v5e in the device trace, tools/prof_label_trace).
-    # fast=True also swaps the brightness metric's L and the feature LAB/DCT
-    # onto the arithmetic tiers (metrics.quality.assess_all,
-    # features.full.extract_all_features docstrings)
+    fns = STRATEGY_FNS_FAST_PLANES if fast else STRATEGY_FNS_PLANES
+    # CHANNEL-FIRST end to end: strategies emit (r, g, b) plane tuples, the
+    # metrics consume them as planes, and the winner where-chain runs per
+    # plane — NHWC is stacked exactly ONCE at exit.  The per-strategy
+    # stack + the metrics' NHWC re-split cost ~0.9 ms/frame of pure layout
+    # copies @1080p x batch 4 in the device trace (tools/prof_label_trace).
+    # Scoring each strategy's batch directly (no (B, S, H, W, 3) stack) is
+    # identical per-image math; fast=True also swaps the brightness
+    # metric's L and the feature LAB/DCT onto the arithmetic tiers
+    # (metrics.quality.assess_all_planes, features.full docstrings).
+    outs_p = [fns[k](imgs) for k in _LABEL_ORDER]
     scores = jnp.stack(
-        [comprehensive_batch(o, dict(weights), fast=fast) for o in outs],
+        [comprehensive_batch_planes(o, dict(weights), fast=fast)
+         for o in outs_p],
         axis=1)
     feats = extract_batch(imgs, fast=fast)
     best = jnp.argmax(scores, axis=1)
     if return_all:
-        return feats, scores, best, jnp.stack(outs, axis=1)
+        return feats, scores, best, jnp.stack(
+            [jnp.stack(o, axis=-1) for o in outs_p], axis=1)
     # winner selection as a fused elementwise where-chain over the five
     # live outputs (bit-identical to stack + take_along_axis)
-    best_imgs = outs[0]
-    for k in range(1, len(outs)):
-        best_imgs = jnp.where((best == k)[:, None, None, None],
-                              outs[k], best_imgs)
-    return feats, scores, best, best_imgs
+    best_planes = []
+    for c in range(3):
+        acc = outs_p[0][c]
+        for k in range(1, len(outs_p)):
+            acc = jnp.where((best == k)[:, None, None], outs_p[k][c], acc)
+        best_planes.append(acc)
+    return feats, scores, best, jnp.stack(best_planes, axis=-1)
 
 
 def label_batch_dp(imgs, weights, mesh, return_all: bool = False,
